@@ -1,0 +1,266 @@
+package graft.ops.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Op
+import graft.functions.text._
+
+/** Deduplication family — SURVEY §2.3.
+  *
+  * Reference semantics are order-dependent: first occurrence in file order
+  * wins (`general_text/filter/hash_deduplicate_filter.py:78-88`). We make
+  * that explicit and distributed-safe with a stable `orderKey` column: the
+  * row with the smallest `orderKey` in each duplicate group is kept.
+  *
+  * Scale notes (100 TB): exact dedup is ONE hash-partitioned shuffle on the
+  * digest (window over hash). Near-dup (MinHash/SimHash) avoids the O(n²)
+  * pairwise pass of the reference via LSH banding: a self-join keyed on
+  * band buckets — shuffle is proportional to candidate pairs, not n².
+  * Candidate pairs are then verified EXACTLY (Jaccard / Hamming), so
+  * banding only prunes; with 128 perms / 32 bands the probability of
+  * missing a true pair at threshold 0.9 is ~1e-15.
+  */
+
+/** Exact dedup on the digest of one or more columns
+  * (`hash_deduplicate_filter.py:10-88`: md5/sha256/xxh3 over concat). */
+final case class HashDeduplicateFilter(cols: Seq[String] = Seq("text"),
+    orderKey: String = "doc_id", algo: String = "md5") extends Op {
+  val name = "hash_deduplicate_filter"
+  val inputKeys = cols :+ orderKey
+  val outputKeys = Nil
+  def digest: Column = {
+    val c = concat_ws("", cols.map(col): _*)
+    algo match {
+      case "md5"    => md5(c)
+      case "sha256" => sha2(c, 256)
+      case "xxh64"  => xxhash64(c).cast("string")
+      case other    => throw new IllegalArgumentException(s"algo $other")
+    }
+  }
+  def apply(df: DataFrame): DataFrame =
+    Dedup.keepFirst(df, digest, col(orderKey))
+}
+
+/** CCNet-style dedup on the first 64 bits of a digest
+  * (`text_pt/filter/ccnet_deduplicate_filter.py:43-78`; sha1 there, md5
+  * prefix here — same hash-prefix semantics, portable oracle). */
+final case class CCNetDeduplicateFilter(inputKey: String = "text",
+    orderKey: String = "doc_id") extends Op {
+  val name = "ccnet_deduplicate_filter"
+  val inputKeys = Seq(inputKey, orderKey)
+  val outputKeys = Nil
+  def apply(df: DataFrame): DataFrame =
+    Dedup.keepFirst(df, hashPrefix64(col(inputKey)), col(orderKey))
+}
+
+/** Dedup on the hash of the SORTED DISTINCT word n-gram set — robust to
+  * reordering/small shifts (`ngramhash_deduplicate_filter.py:10-53`). */
+final case class NgramHashDeduplicateFilter(inputKey: String = "text",
+    orderKey: String = "doc_id", n: Int = 3) extends Op {
+  val name = "ngram_hash_deduplicate_filter"
+  val inputKeys = Seq(inputKey, orderKey)
+  val outputKeys = Nil
+  def apply(df: DataFrame): DataFrame = {
+    val grams = array_sort(array_distinct(wordNgrams(col(inputKey), n)))
+    Dedup.keepFirst(df, md5(concat_ws("", grams)), col(orderKey))
+  }
+}
+
+/** MinHash + LSH-banding near-dedup
+  * (`minhash_deduplicate_filter.py:9-88`: datasketch MinHash 128 perms,
+  * threshold 0.9). Pipeline: shingle → 128-perm minhash signature → 32
+  * band keys → self-join on (band, key) → EXACT Jaccard verify on
+  * candidate pairs → drop the later row of every similar pair. */
+final case class MinHashDeduplicateFilter(inputKey: String = "text",
+    orderKey: String = "doc_id", ngram: Int = 3, numPerm: Int = 128,
+    bands: Int = 32, threshold: Double = 0.9) extends Op {
+  require(numPerm % bands == 0, "bands must divide numPerm")
+  val name = "minhash_deduplicate_filter"
+  val inputKeys = Seq(inputKey, orderKey)
+  val outputKeys = Nil
+
+  private val rowsPerBand = numPerm / bands
+  // Universal-hash permutations h_i(x) = (a_i * x + b_i) mod p over the
+  // 32-bit shingle hash; fixed constants → reproducible across runs.
+  private val P = 4294967311L // prime > 2^32
+  private val as: Array[Long] = Array.tabulate(numPerm)(i => 2L * i + 3)
+  private val bs: Array[Long] =
+    Array.tabulate(numPerm)(i => (i * 2654435761L + 12345) % P)
+
+  /** Band bucket keys from the shingle set, as a signature UDF
+    * (imperative inner loop; partition-parallel, no shuffle). Shingles
+    * stay as strings end-to-end — the exact-Jaccard verification below is
+    * then collision-free and bit-reproducible against a SQL oracle; the
+    * 64-bit hash here only drives LSH pruning. */
+  private val bandKeys = {
+    val (a, b, p, np, rb, nb) = (as, bs, P, numPerm, rowsPerBand, bands)
+    udf { shingles: Seq[String] =>
+      if (shingles == null || shingles.isEmpty) Array.empty[String]
+      else {
+        val hs = shingles.map(s =>
+          (scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL))
+        val sig = new Array[Long](np)
+        var i = 0
+        while (i < np) {
+          var mn = Long.MaxValue
+          val it = hs.iterator
+          while (it.hasNext) {
+            val h = (a(i) * it.next() + b(i)) % p
+            if (h < mn) mn = h
+          }
+          sig(i) = mn; i += 1
+        }
+        Array.tabulate(nb)(bi =>
+          bi + ":" + java.util.Arrays.hashCode(
+            java.util.Arrays.copyOfRange(sig, bi * rb, (bi + 1) * rb)))
+      }
+    }
+  }
+
+  def apply(df: DataFrame): DataFrame = {
+    val shingles = array_distinct(wordNgrams(col(inputKey), ngram))
+    val withSh = df.withColumn("__sh", shingles)
+      .withColumn("__band", explode(bandKeys(col("__sh"))))
+    val l = withSh.select(col(orderKey).as("i"), col("__sh").as("sh_i"), col("__band"))
+    val r = withSh.select(col(orderKey).as("j"), col("__sh").as("sh_j"), col("__band"))
+    // candidate pairs sharing a band bucket; i < j; verified exactly
+    val jac = size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
+      size(array_union(col("sh_i"), col("sh_j"))).cast("double")
+    val dups = l.join(r, Seq("__band")).where(col("i") < col("j"))
+      .where(jac >= threshold)
+      .select(col("j").as(orderKey)).distinct()
+    df.join(dups, Seq(orderKey), "left_anti")
+  }
+}
+
+/** SimHash near-dedup (`simhash_deduplicate_filter.py:15-85`): 60-bit
+  * simhash over word hashes; pairs within Hamming distance k are dups.
+  * The reference does O(n²) pairwise; we band the fingerprint into k+1
+  * segments (pigeonhole: hamming ≤ k ⇒ at least one segment equal) →
+  * self-join on segments → exact `bit_count(xor)` verify. */
+final case class SimHashDeduplicateFilter(inputKey: String = "text",
+    orderKey: String = "doc_id", hammingK: Int = 3) extends Op {
+  val name = "simhash_deduplicate_filter"
+  val inputKeys = Seq(inputKey, orderKey)
+  val outputKeys = Nil
+  private val BITS = 60
+  private val SEGS = hammingK + 1
+  private val segBits = BITS / SEGS
+
+  def simhash(c: Column): Column = {
+    // 60-bit word hash direct from the md5 prefix (15 hex chars) — stays
+    // positive in a signed long, no overflow in the bit arithmetic below.
+    val hashes = transform(words(c),
+      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    val bitCols = (0 until BITS).map { k =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << k)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  def apply(df: DataFrame): DataFrame = {
+    val withSig = df.withColumn("__sig", simhash(col(inputKey)))
+    val seg = explode(array((0 until SEGS).map(s =>
+      concat_ws(":", lit(s),
+        shiftright(col("__sig"), s * segBits).bitwiseAND((1L << segBits) - 1))): _*))
+    val banded = withSig.withColumn("__seg", seg)
+    val l = banded.select(col(orderKey).as("i"), col("__sig").as("sig_i"), col("__seg"))
+    val r = banded.select(col(orderKey).as("j"), col("__sig").as("sig_j"), col("__seg"))
+    val dups = l.join(r, Seq("__seg")).where(col("i") < col("j"))
+      .where(bit_count(col("sig_i").bitwiseXOR(col("sig_j"))) <= hammingK)
+      .select(col("j").as(orderKey)).distinct()
+    df.join(dups, Seq(orderKey), "left_anti")
+  }
+}
+
+/** Semantic (embedding-cosine) near-dedup
+  * (`sem_deduplicate_filter.py:63-155`: BERT embeddings, full cosine
+  * matrix, drop later row of any pair with cos ≥ 1-eps). Exact pairwise
+  * path below (fine to ~10^4 rows per verification run); the 100 TB path
+  * is [[graft.ops.sim.CosineLsh]] bucketing feeding the same verify. */
+final case class SemDeduplicateFilter(embKey: String = "embedding",
+    orderKey: String = "vec_id", eps: Double = 0.05) extends Op {
+  val name = "sem_deduplicate_filter"
+  val inputKeys = Seq(embKey, orderKey)
+  val outputKeys = Nil
+  def apply(df: DataFrame): DataFrame = {
+    val v = df.select(col(orderKey), col(embKey).cast("array<double>").as("__v"))
+    val l = v.select(col(orderKey).as("i"), col("__v").as("vi"))
+    val r = v.select(col(orderKey).as("j"), col("__v").as("vj"))
+    val cos = Dedup.cosine(col("vi"), col("vj"))
+    val dups = l.crossJoin(r).where(col("i") < col("j"))
+      .where(cos >= 1.0 - eps)
+      .select(col("j").as(orderKey)).distinct()
+    df.join(dups, Seq(orderKey), "left_anti")
+  }
+}
+
+/** Greedy k-center coreset selection over embeddings
+  * (`kcentergreedy_filter.py:14-218`): keep k maximally-diverse rows.
+  * Inherently sequential-greedy → runs on the driver over collected
+  * vectors (bounded by k and candidate count; the reference does the
+  * same in numpy). Deterministic: starts from the smallest id; ties
+  * break toward the smallest id. */
+final case class KCenterGreedyFilter(embKey: String = "embedding",
+    orderKey: String = "vec_id", k: Int = 100) extends Op {
+  val name = "kcenter_greedy_filter"
+  val inputKeys = Seq(embKey, orderKey)
+  val outputKeys = Nil
+  def apply(df: DataFrame): DataFrame = {
+    val rows = df.select(col(orderKey).cast("long"), col(embKey).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    if (rows.length <= k) return df
+    val n = rows.length
+    val dist = Array.fill(n)(Double.MaxValue)
+    val chosen = new scala.collection.mutable.ArrayBuffer[Long](k)
+    var next = 0
+    (0 until k).foreach { _ =>
+      chosen += rows(next)._1
+      val cv = rows(next)._2
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        val d = Dedup.sqDist(rows(i)._2, cv)
+        if (d < dist(i)) dist(i) = d
+        if (dist(i) > bestD) { bestD = dist(i); best = i }
+        i += 1
+      }
+      next = best
+    }
+    val keepDf = df.sparkSession
+      .createDataset(chosen.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF(orderKey)
+    df.join(broadcast(keepDf), Seq(orderKey), "left_semi")
+  }
+}
+
+object Dedup {
+  /** Keep the row with the smallest orderKey per group — ONE shuffle
+    * (hash partition by groupExpr), window row_number. */
+  def keepFirst(df: DataFrame, groupExpr: Column, order: Column): DataFrame = {
+    val w = Window.partitionBy(groupExpr).orderBy(order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Cosine similarity of two double-array columns via a sequential fold
+    * (deterministic summation order — reproducible against SQL oracles). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  private[dedup] def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+}

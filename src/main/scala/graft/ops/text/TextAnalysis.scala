@@ -1,0 +1,81 @@
+package graft.ops.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.EvalOp
+import graft.functions.text._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, fingerprinting. All pure
+  * `Column` expressions (codegen'd, narrow, no shuffle) — at 100 TB these
+  * run at scan speed.
+  */
+
+/** N-gram/marker-word language-ID heuristic. Scores each candidate
+  * language by its marker-word hit count over the token set; argmax wins,
+  * ties break by language order ("und" when no markers hit). The
+  * reference uses fastText (`language_filter.py:69`); a deterministic
+  * lexicon heuristic keeps this hermetic and oracle-checkable. */
+final case class LanguageIdEvaluator(inputKey: String = "text",
+    outputKey: String = "lang_pred") extends EvalOp {
+  val name = "language_id_evaluator"
+  val inputKeys = Seq(inputKey)
+
+  import LanguageIdEvaluator.markers
+  def scoreFor(lang: String): Column = {
+    val ms = array(markers(lang).map(lit): _*)
+    size(filter(words(lower(col(inputKey))), w => array_contains(ms, w)))
+  }
+  def scores: Seq[(String, Column)] = {
+    val scored = markers.keys.toSeq.sorted.map(l => struct(scoreFor(l).as("s"), lit(l).as("l")))
+    // reduce keeps the first max → deterministic tie-break by language name
+    val best = scored.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    Seq(outputKey -> when(best("s") > 0, best("l")).otherwise(lit("und")))
+  }
+}
+object LanguageIdEvaluator {
+  /** Marker lexicons (top function words per language). */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por", "con", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "für"))
+}
+
+/** Composite quality score: length, punctuation-density, stopword-ratio
+  * and repetition signals combined into [0,1] — the shape of the
+  * reference's quality evaluators (`langkit_sample_evaluator.py:10-72`)
+  * without external models. */
+final case class QualityScoreEvaluator(inputKey: String = "text",
+    outputKey: String = "quality_score") extends EvalOp {
+  val name = "quality_score_evaluator"
+  val inputKeys = Seq(inputKey)
+  def scores: Seq[(String, Column)] = {
+    val t = col(inputKey)
+    val lenScore = least(wordCount(t).cast("double") / 100.0, lit(1.0))
+    val uniq = uniqueWordRatio(t)
+    val sw = stopwordRatio(t, graft.ops.filter.Lexicons.englishStopwords)
+    val swScore = least(sw * 5.0, lit(1.0))
+    Seq(outputKey -> round((lenScore + uniq + swScore) / 3.0, 6))
+  }
+}
+
+/** Token counting: whitespace tokens plus a BPE-ish subword estimate
+  * (ceil(chars/4) — the standard "~4 chars per token" heuristic). */
+final case class TokenCountEvaluator(inputKey: String = "text") extends EvalOp {
+  val name = "token_count_evaluator"
+  val inputKeys = Seq(inputKey)
+  def scores: Seq[(String, Column)] = Seq(
+    "word_tokens" -> wordCount(col(inputKey)).cast("long"),
+    "bpe_tokens" -> ceil(length(col(inputKey)).cast("double") / 4.0).cast("long"))
+}
+
+/** Order-sensitive rolling-hash document fingerprint (see
+  * [[graft.functions.text.docFingerprint]]); equal fingerprints ⇒ equal
+  * word sequences (mod collisions) — cheap pre-key for dedup/clustering. */
+final case class FingerprintEvaluator(inputKey: String = "text",
+    outputKey: String = "fingerprint") extends EvalOp {
+  val name = "fingerprint_evaluator"
+  val inputKeys = Seq(inputKey)
+  def scores: Seq[(String, Column)] = Seq(outputKey -> docFingerprint(col(inputKey)))
+}
