@@ -43,7 +43,7 @@ object SparkEntry {
   private def rowsOnly(fn: (SparkSession, String) => DataFrame) = Q(fn, None)
 
   private lazy val registry: Map[String, Q] = relational ++ filters ++ dedups ++
-    refiners ++ evals ++ aggs
+    refiners ++ evals ++ aggs ++ filters2 ++ refiners2 ++ misc
 
   // ---- relational / TPC-H-ish bench surface -------------------------------
   private def relational: Map[String, Q] = Map(
@@ -303,6 +303,196 @@ object SparkEntry {
         |FROM (SELECT o_totalprice, CAST(o_totalprice AS DECIMAL(18,6)) AS x FROM orders)""".stripMargin) {
       (s, dir) => DatasetEvaluators.numericStats(t(s, dir, "orders"), "o_totalprice")
     })
+
+  // ---- remaining rule filters (§2.2) --------------------------------------
+  private def filters2: Map[String, Q] = Map(
+    // documents have no sentence punctuation; map spaces → '.' first so the
+    // sentence counter sees real variance (30..60 sentences keeps a subset)
+    "filter_sentence_number" -> oracled(
+      s"""SELECT doc_id, n_chars FROM $D
+         |WHERE len(regexp_extract_all(translate(text, ' ', '.'), '[.!?]+'))
+         |      BETWEEN 30 AND 60""".stripMargin) { (s, dir) =>
+      SentenceNumberFilter("text", 30, 60)(
+        t(s, dir, D).withColumn("text", translate(col("text"), " ", ".")))
+        .select("doc_id", "n_chars")
+    },
+    "filter_no_punc" -> filterQ(NoPuncFilter("text", 56),
+      s"coalesce(list_max(list_transform(regexp_split_to_array(text, '[.!?,;:]'), " +
+        s"s -> len(list_filter(regexp_split_to_array(s, '\\s+'), x -> x <> '')))) <= 56, TRUE)"),
+    "filter_symbol_word_ratio" -> filterQ(SymbolWordRatioFilter("text", 0.4),
+      s"CAST(length(text) - length(translate(text, '#', '')) + " +
+        s"len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / " +
+        s"CAST(${sqlWordCount("text")} AS DOUBLE) <= 0.4"),
+    "filter_html_entity" -> filterQ(HtmlEntityFilter("text"),
+      "NOT regexp_matches(text, '&(nbsp|lt|gt|amp|quot|apos|hellip|ndash|mdash|lsquo|rsquo|ldquo|rdquo);')"),
+    "filter_id_card" -> filterQ(IDCardFilter("text"),
+      "NOT regexp_matches(lower(text), '(id number|id card|idcard|identification number)') " +
+        "AND NOT regexp_matches(text, '[0-9]{17}[0-9Xx]')"),
+    "filter_special_character" -> filterQ(SpecialCharacterFilter("text"),
+      "NOT regexp_matches(text, '[\\x{00A0}\\x{FEFF}\\x{2424}\\x{3000}\\x{FFFD}]|\\{\\{|\\}\\}|&#[0-9]+;')"),
+    "filter_lorem_ipsum" -> filterQ(LoremIpsumFilter("text", 3e-8),
+      "CAST(len(regexp_extract_all(lower(text), 'lorem ipsum')) AS DOUBLE) / " +
+        "CAST(length(text) AS DOUBLE) <= 0.00000003"),
+    "filter_capital_words" -> filterQ(CapitalWordsFilter("text", 0.2),
+      s"CAST(len(list_filter(${sqlWords("text")}, w -> upper(w) = w AND lower(w) <> w)) AS DOUBLE) / " +
+        s"CAST(${sqlWordCount("text")} AS DOUBLE) <= 0.2"),
+    "filter_line_ellipsis" -> filterQ(LineEndWithEllipsisFilter("text", 0.3),
+      s"CAST(len(list_filter(split(text, chr(10)), l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE) / " +
+        s"CAST(len(split(text, chr(10))) AS DOUBLE) <= 0.3"),
+    "filter_line_bullet" -> filterQ(LineStartWithBulletpointFilter("text", 0.9),
+      s"CAST(len(list_filter(split(text, chr(10)), l -> regexp_matches(ltrim(l), '^([*\\-•‣▶►]|[0-9]+[.)])'))) AS DOUBLE) / " +
+        s"CAST(len(split(text, chr(10))) AS DOUBLE) <= 0.9"),
+    "filter_line_javascript" -> filterQ(LineWithJavascriptFilter("text", 3),
+      "len(list_filter(split(text, chr(10)), l -> contains(lower(l), 'javascript'))) <= 3"),
+    "filter_curly_bracket" -> oracled(
+      """SELECT event_id FROM events
+        |WHERE CAST(length(props) - length(translate(props, '{}', '')) AS DOUBLE) /
+        |      CAST(length(props) AS DOUBLE) <= 0.2""".stripMargin) { (s, dir) =>
+      CurlyBracketFilter("props", 0.2)(t(s, dir, "events")).select("event_id")
+    },
+    "filter_general" -> oracled(
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value > 100 AND event_type IN ('purchase','view')""".stripMargin) {
+      (s, dir) =>
+        GeneralFilter(Seq(col("value") > 100,
+          col("event_type").isin("purchase", "view")), Seq("value", "event_type"))(
+          t(s, dir, "events")).select("event_id", "user_id", "value")
+    })
+
+  // ---- remaining refiners (§2.4) ------------------------------------------
+  private def refiners2: Map[String, Q] = Map(
+    "refine_remove_emoji" -> refineQ(RemoveEmojiRefiner("text"),
+      "regexp_replace(text, '[\\x{1F300}-\\x{1FAFF}\\x{2600}-\\x{27BF}\\x{FE0F}\\x{1F000}-\\x{1F02F}]', '', 'g')"),
+    "refine_remove_repetitions_punct" -> refineQ(
+      RemoveRepetitionsPunctuationRefiner("text"),
+      RemoveRepetitionsPunctuationRefiner.punct.foldLeft("text") { (acc, ch) =>
+        val esc = ch match {
+          case c if "\\^$.|?*+()[]{}".contains(c) => "\\" + c
+          case '\'' => "''"
+          case c => c.toString
+        }
+        val rep = if (ch == '\'') "''" else ch.toString
+        s"regexp_replace($acc, '$esc{2,}', '$rep', 'g')"
+      }),
+    "refine_remove_image_refs" -> refineQ(RemoveImageRefsRefiner("text"),
+      """regexp_replace(regexp_replace(text, '!\[[^\]]*\]\([^)]*\)', '', 'g'), '<img[^>]*>', '', 'g')"""),
+    "refine_html_entity" -> refineQ(HtmlEntityRefiner("text"),
+      "replace(replace(replace(replace(replace(replace(text, '&nbsp;', ' '), " +
+        "'&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', '''')"),
+    "refine_remove_contractions" -> refineQ(RemoveContractionsRefiner("text"),
+      "replace(replace(replace(replace(replace(replace(replace(replace(replace(" +
+        "text, 'can''t', 'cannot'), 'won''t', 'will not'), 'n''t', ' not'), " +
+        "'''re', ' are'), '''ve', ' have'), '''ll', ' will'), '''m', ' am'), " +
+        "'it''s', 'it is'), 'let''s', 'let us')"),
+    "refine_reference_remover" -> refineQ(ReferenceRemoverRefiner("text"),
+      """regexp_replace(text, '\[[0-9]+(,\s*[0-9]+)*\]', '', 'g')"""),
+    "refine_text_normalization" -> refineQ(TextNormalizationRefiner("text"),
+      """regexp_replace(regexp_replace(text, '\$\s*([0-9]+(\.[0-9]+)?)', '\1 dollars', 'g'), """ +
+        """'([0-9]{1,2})/([0-9]{1,2})/([0-9]{4})', '\3-\1-\2', 'g')"""),
+    "refine_pii_anonymize" -> refineQ(PIIAnonymizeRefiner("text"),
+      """regexp_replace(regexp_replace(regexp_replace(text, """ +
+        """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), """ +
+        """'\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g'), """ +
+        """'\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g')"""),
+    "refine_ner" -> refineQ(NERRefiner("text"),
+      """regexp_replace(text, '([a-z],? )([A-Z][a-z]+( [A-Z][a-z]+)+)', '\1<ENTITY>', 'g')"""),
+    "refine_stemming" -> refineQ(StemmingRefiner("text"),
+      s"""array_to_string(list_transform(${sqlWords("text")}, w ->
+         | CASE WHEN length(w) > 5 AND ends_with(w, 'ing') THEN substr(w, 1, length(w)-3)
+         |      WHEN length(w) > 4 AND ends_with(w, 'ed') THEN substr(w, 1, length(w)-2)
+         |      WHEN length(w) > 3 AND ends_with(w, 's') AND NOT ends_with(w, 'ss')
+         |        THEN substr(w, 1, length(w)-1)
+         |      ELSE w END), ' ')""".stripMargin))
+
+  // ---- sorts / limits / set ops (§2.9) + paired evaluators ----------------
+  private def misc: Map[String, Q] = Map(
+    "sort_topk_orders" -> oracled(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice").limit(10)
+    },
+    "setop_union_users" -> oracled(
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT user_id FROM events WHERE value > 150""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .union(e.filter(col("value") > 150).select("user_id"))
+        .distinct()
+    },
+    "eval_qa_f1" -> oracled(
+      s"""WITH pairs AS (
+         |  SELECT a.doc_id, a.text AS pred, b.text AS gold
+         |  FROM $D a JOIN $D b ON b.doc_id = a.doc_id + 1),
+         |toks AS (
+         |  SELECT doc_id,
+         |    ${sqlF1Norm("pred")} AS p,
+         |    ${sqlF1Norm("gold")} AS g
+         |  FROM pairs),
+         |ov AS (
+         |  SELECT doc_id, p, g,
+         |    list_reduce(list_prepend(0, list_transform(
+         |      list_intersect(list_distinct(p), list_distinct(g)),
+         |      tk -> least(len(list_filter(p, x -> x = tk)),
+         |                  len(list_filter(g, y -> y = tk))))),
+         |      (a, b) -> a + b) AS overlap
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN len(p) = 0 OR len(g) = 0 OR overlap = 0 THEN 0.0
+         |       ELSE round(2.0 * (CAST(overlap AS DOUBLE) / CAST(len(p) AS DOUBLE))
+         |              * (CAST(overlap AS DOUBLE) / CAST(len(g) AS DOUBLE))
+         |              / ((CAST(overlap AS DOUBLE) / CAST(len(p) AS DOUBLE))
+         |               + (CAST(overlap AS DOUBLE) / CAST(len(g) AS DOUBLE))), 6)
+         |  END AS f1
+         |FROM ov""".stripMargin) { (s, dir) =>
+      val d = t(s, dir, D)
+      val a = d.select(col("doc_id"), col("text").as("pred"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("gold"))
+      QAF1SampleEvaluator("pred", "gold")(a.join(b, Seq("doc_id")))
+        .select("doc_id", "f1")
+    },
+    "eval_bleu" -> rowsOnly { (s, dir) =>
+      val d = t(s, dir, D)
+      val a = d.select(col("doc_id"), col("text").as("pred"))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("ref"))
+      BleuSampleEvaluator("pred", "ref")(a.join(b, Seq("doc_id")))
+        .select("doc_id", "bleu")
+    },
+    "eval_presidio" -> oracled(
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |     + len(regexp_extract_all(text, '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+         |     + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS pii_count
+         |FROM $D""".stripMargin) { (s, dir) =>
+      PresidioSampleEvaluator("text")(t(s, dir, D)).select("doc_id", "pii_count")
+    },
+    "agg_bench_accuracy" -> oracled(
+      """SELECT COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+        |  round(CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        |FROM events""".stripMargin) { (s, dir) =>
+      DatasetEvaluators.benchAccuracy(t(s, dir, "events"),
+        col("event_type") === "purchase", col("value") > 0)
+    },
+    "agg_bench_accuracy_by" -> oracled(
+      """SELECT event_type, COUNT(*) AS total,
+        |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+        |  round(CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      DatasetEvaluators.benchAccuracyBy(t(s, dir, "events"), "event_type",
+        col("value") > 100)
+    })
+
+  /** DuckDB QA-F1 token normalization (matches QAF1SampleEvaluator.norm). */
+  private def sqlF1Norm(c: String): String =
+    s"""list_filter(regexp_split_to_array(regexp_replace(regexp_replace(lower($c), """ +
+      """'[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', ' ', 'g'), """ +
+      """'\b(a|an|the)\b', ' ', 'g'), '\s+'), x -> x <> '')"""
 
   // ---- driver contract ----------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] =

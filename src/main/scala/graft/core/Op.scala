@@ -60,6 +60,15 @@ trait RefineOp extends Op {
     df.withColumn(inputKey, refined)
 }
 
+/** Arbitrary `DataFrame => DataFrame` escape hatch — the analogue of the
+  * reference's PandasOperator (`core_text/refine/pandas_operator.py:8-52`,
+  * user lambdas for sort/assign/rename). Declared keys keep pipeline
+  * validation honest. */
+final case class TransformOp(name: String, inputKeys: Seq[String],
+    outputKeys: Seq[String], f: DataFrame => DataFrame) extends Op {
+  override def apply(df: DataFrame): DataFrame = f(df)
+}
+
 /** Sample-level evaluator (§2.5): append score column(s). */
 trait EvalOp extends Op {
   def scores: Seq[(String, Column)]

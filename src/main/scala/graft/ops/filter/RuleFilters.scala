@@ -118,7 +118,7 @@ final case class SpecialCharacterFilter(inputKey: String = "text") extends Filte
   val name = "special_character_filter"
   val inputKeys = Seq(inputKey)
   def predicate: Column =
-    !col(inputKey).rlike("[  ﻿␤　�]|\\{\\{|\\}\\}|&#\\d+;")
+    !col(inputKey).rlike("[\\x{00A0}\\x{FEFF}\\x{2424}\\x{3000}\\x{FFFD}]|\\{\\{|\\}\\}|&#[0-9]+;")
 }
 
 /** No watermark phrases (`rule_based_filter.py:763`). */
