@@ -7,7 +7,13 @@ import graft.ops.filter._
 import graft.ops.refine._
 import graft.ops.dedup._
 import graft.ops.eval._
+import graft.ops.gen._
 import graft.ops.text._
+import graft.ops.text2sql._
+import graft.ops.sim.Similarity
+import graft.ops.multimodal._
+import graft.serving.MockServing
+import graft.streaming.Streaming
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent oracle where the semantics are
@@ -43,7 +49,8 @@ object SparkEntry {
   private def rowsOnly(fn: (SparkSession, String) => DataFrame) = Q(fn, None)
 
   private lazy val registry: Map[String, Q] = relational ++ filters ++ dedups ++
-    refiners ++ evals ++ aggs ++ filters2 ++ refiners2 ++ misc
+    refiners ++ evals ++ aggs ++ filters2 ++ refiners2 ++ misc ++ serving ++
+    text2sql ++ advanced
 
   // ---- relational / TPC-H-ish bench surface -------------------------------
   private def relational: Map[String, Q] = Map(
@@ -487,6 +494,258 @@ object SparkEntry {
       DatasetEvaluators.benchAccuracyBy(t(s, dir, "events"), "event_type",
         col("value") > 100)
     })
+
+  // ---- LLM-backed ops via deterministic MockServing (§2.8) ----------------
+  // MockServing responses are pure functions of (system, prompt), so even
+  // the LLM family gets full value-level oracles:
+  //   echo  → 'echo[<sys>]:<prompt>' ; JUDGE → yes iff even length ;
+  //   SCORE → (len % 100)/10.0 ; embed_i → ((md5_32 + 31 i) % 1000)/1000
+  private val mock = MockServing()
+
+  private def serving: Map[String, Q] = Map(
+    "gen_prompted" -> oracled(
+      s"SELECT doc_id, 'echo[SYS]:' || text AS gen FROM $D") { (s, dir) =>
+      PromptedGenerator("text", "gen", mock, "SYS")(t(s, dir, D))
+        .select("doc_id", "gen")
+    },
+    "gen_format_str" -> oracled(
+      s"SELECT doc_id, 'echo[]:Q(' || lang || '): ' || text AS gen FROM $D") {
+      (s, dir) =>
+        FormatStrPromptedGenerator("Q({lang}): {text}", "gen", mock)(t(s, dir, D))
+          .select("doc_id", "gen")
+    },
+    "filter_prompted" -> oracled(
+      s"SELECT doc_id, n_chars FROM $D WHERE length(text) % 2 = 0") { (s, dir) =>
+      PromptedFilter("text", mock)(t(s, dir, D)).select("doc_id", "n_chars")
+    },
+    "refine_prompted" -> oracled(
+      s"SELECT doc_id, 'echo[REWRITE]:' || text AS text FROM $D") { (s, dir) =>
+      PromptedRefiner("text", mock, "REWRITE")(t(s, dir, D))
+        .select("doc_id", "text")
+    },
+    "eval_prompted" -> oracled(
+      s"SELECT doc_id, CAST(length(text) % 100 AS DOUBLE) / 10.0 AS llm_score FROM $D") {
+      (s, dir) =>
+        PromptedEvaluator("text", "llm_score", mock)(t(s, dir, D))
+          .select("doc_id", "llm_score")
+    },
+    "refine_condor" -> oracled(
+      s"""SELECT doc_id, 'echo[CRITIQUE]:' || text AS critique,
+         |  'echo[REWRITE]:' || text || ' <CRIT> echo[CRITIQUE]:' || text AS text
+         |FROM $D""".stripMargin) { (s, dir) =>
+      CondorRefiner("text", mock)(t(s, dir, D))
+        .select("doc_id", "critique", "text")
+    },
+    "gen_chunked" -> oracled(
+      s"""SELECT doc_id, array_to_string(list_transform(
+         |  list_transform(range(0, greatest(CAST(ceil(CAST(${sqlWordCount("text")} AS DOUBLE) / 20.0) AS BIGINT), 1)),
+         |    i -> array_to_string(list_slice(${sqlWords("text")}, i*20 + 1, i*20 + 20), ' ')),
+         |  c -> 'echo[]:' || c), ' | ') AS gen
+         |FROM $D""".stripMargin) { (s, dir) =>
+      ChunkedPromptedGenerator("text", "doc_id", "gen", mock, chunkWords = 20)(
+        t(s, dir, D)).select("doc_id", "gen")
+    },
+    "gen_embedding" -> oracled(
+      s"""SELECT doc_id, list_transform(range(0, 16),
+         |  i -> CAST((('0x' || substr(md5(text), 1, 8))::BIGINT + 31*i) % 1000 AS DOUBLE) / 1000.0)
+         |  AS emb
+         |FROM $D""".stripMargin) { (s, dir) =>
+      EmbeddingGenerator("text", "emb", mock)(t(s, dir, D))
+        .select("doc_id", "emb")
+    },
+    "gen_rows" -> oracled(
+      "SELECT range AS id, 'echo[GEN]:seed-' || range AS content FROM range(100)") {
+      (s, _) => RowGenerator.domainRows(s, 100, mock)
+    },
+    "gen_text2qa" -> oracled(
+      s"""SELECT doc_id, 'echo[QGEN]:' || text AS question,
+         |  'echo[AGEN]:echo[QGEN]:' || text AS answer FROM $D""".stripMargin) {
+      (s, dir) =>
+        Text2QAGenerator("text", mock)(t(s, dir, D))
+          .select("doc_id", "question", "answer")
+    },
+    "text_language_id" -> oracled {
+      def hits(l: String) =
+        s"len(list_filter(${sqlWords("lower(text)")}, w -> list_contains(${sqlLex(LanguageIdEvaluator.markers(l))}, w)))"
+      s"""WITH s AS (SELECT doc_id, ${hits("de")} AS sde, ${hits("en")} AS sen,
+         |  ${hits("es")} AS ses, ${hits("fr")} AS sfr FROM $D)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+         |  WHEN sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+         |  WHEN sen >= ses AND sen >= sfr THEN 'en'
+         |  WHEN ses >= sfr THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM s""".stripMargin
+    } { (s, dir) =>
+      LanguageIdEvaluator("text")(t(s, dir, D)).select("doc_id", "lang_pred")
+    })
+
+  // ---- Text2SQL suite (§2.10) over a synthesized SQL corpus ---------------
+  // The reference ships per-db_id SQLite files; here the SQL corpus is
+  // synthesized deterministically from testdata so every step has a
+  // value-level oracle.
+  private def synthSql = concat(lit("SELECT a FROM t"),
+    repeat(lit(" JOIN b ON 1=1"), (col("doc_id") % 7).cast("int")),
+    lit(" WHERE x > 0"))
+  private val synthSqlSql =
+    "'SELECT a FROM t' || repeat(' JOIN b ON 1=1', CAST(doc_id % 7 AS INT)) || ' WHERE x > 0'"
+
+  private def text2sql: Map[String, Q] = Map(
+    "t2s_extract" -> oracled(
+      s"""SELECT doc_id, trim(regexp_extract(
+         |  'intro ```sql SELECT ' || doc_id || ' FROM t ``` outro',
+         |  '(?s)```sql\\s*(.*?)```', 1)) AS sql FROM $D""".stripMargin) { (s, dir) =>
+      t(s, dir, D).withColumn("raw",
+        concat(lit("intro ```sql SELECT "), col("doc_id"), lit(" FROM t ``` outro")))
+        .withColumn("sql", SqlExtract(col("raw")))
+        .select("doc_id", "sql")
+    },
+    "t2s_executability" -> oracled(
+      s"SELECT doc_id, n_chars FROM $D WHERE doc_id % 2 = 0") { (s, dir) =>
+      val withSql = t(s, dir, D).withColumn("sql",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("-- c\nSELECT "), col("doc_id"), lit(" AS x")))
+          .otherwise(concat(lit("DROP TABLE t"), col("doc_id"))))
+      SQLExecutabilityFilter("sql")(withSql).select("doc_id", "n_chars")
+    },
+    "t2s_classify" -> oracled(
+      s"""WITH c AS (SELECT doc_id, lower($synthSqlSql) AS s FROM $D),
+         |n AS (SELECT doc_id,
+         |  len(regexp_extract_all(s, '\\bjoin\\b')) + len(regexp_extract_all(s, '\\bgroup\\s+by\\b'))
+         |  + len(regexp_extract_all(s, '\\border\\s+by\\b'))
+         |  + len(regexp_extract_all(s, '\\b(sum|avg|min|max|count)\\s*\\('))
+         |  + len(regexp_extract_all(s, '\\bwhere\\b'))
+         |  + len(regexp_extract_all(s, '\\b(union|intersect|except)\\b'))
+         |  + greatest(len(regexp_extract_all(s, '\\bselect\\b')) - 1, 0) AS comp
+         |  FROM c)
+         |SELECT doc_id, CASE WHEN comp <= 1 THEN 'easy' WHEN comp <= 3 THEN 'medium'
+         |  WHEN comp <= 5 THEN 'hard' ELSE 'extra' END AS hardness FROM n""".stripMargin) {
+      (s, dir) =>
+        SQLComponentClassifier("sql")(t(s, dir, D).withColumn("sql", synthSql))
+          .select("doc_id", "hardness")
+    },
+    "t2s_prompt" -> oracled(
+      s"""SELECT d.doc_id,
+         |  '-- schema' || chr(10) || 'CREATE TABLE t_' || d.lang || '(x INT)' ||
+         |  chr(10) || '-- question: ' || d.text || chr(10) || 'SELECT' AS prompt
+         |FROM $D d""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, D)
+      val schemas = docs.select(col("lang")).distinct()
+        .withColumn("schema_ddl", concat(lit("CREATE TABLE t_"), col("lang"), lit("(x INT)")))
+      Text2SQLPromptGenerator("lang", "text", "prompt", schemas)(docs)
+        .select("doc_id", "prompt")
+    },
+    "t2s_variation" -> oracled(
+      s"SELECT doc_id, 'echo[VARY]:' || ($synthSqlSql) AS variation FROM $D") {
+      (s, dir) =>
+        SQLVariationGenerator("sql", "variation", mock)(
+          t(s, dir, D).withColumn("sql", synthSql)).select("doc_id", "variation")
+    },
+    "t2s_question_gen" -> oracled(
+      s"SELECT doc_id, 'echo[QUESTION]:' || ($synthSqlSql) AS question FROM $D") {
+      (s, dir) =>
+        Text2SQLQuestionGenerator("sql", "question", mock)(
+          t(s, dir, D).withColumn("sql", synthSql)).select("doc_id", "question")
+    },
+    "t2s_cot_voting" -> oracled(
+      s"SELECT doc_id, 'echo[COT]:' || ($synthSqlSql) || '#0' AS cot FROM $D") {
+      (s, dir) =>
+        Text2SQLCoTVotingGenerator("sql", "cot", mock, samples = 3)(
+          t(s, dir, D).withColumn("sql", synthSql)).select("doc_id", "cot")
+    },
+    "t2s_execution" -> oracled(
+      s"SELECT doc_id, n_chars FROM $D WHERE doc_id % 2 = 0") { (s, dir) =>
+      val withSql = t(s, dir, D).withColumn("sql",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("SELECT "), col("doc_id"), lit(" AS x")))
+          .otherwise(lit("SELECT * FROM missing_table_xyz")))
+      SQLExecutionFilter("sql", timeoutSec = 5)(withSql).select("doc_id", "n_chars")
+    })
+
+  // ---- similarity / multimodal / streaming tiers --------------------------
+  /** DuckDB sequential-fold cosine over DOUBLE[] (bit-matches
+    * Similarity.cosine's fold order). */
+  private def sqlCosine(a: String, b: String, dim: Int): String = {
+    def fold(prods: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, $prods), (acc, x) -> acc + x)"
+    val dot = fold(s"list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i])")
+    val na = s"sqrt(${fold(s"list_transform(range(1, ${dim + 1}), i -> $a[i] * $a[i])")})"
+    val nb = s"sqrt(${fold(s"list_transform(range(1, ${dim + 1}), i -> $b[i] * $b[i])")})"
+    s"($dot) / (($na) * ($nb))"
+  }
+
+  private def advanced: Map[String, Q] = Map(
+    "sim_topk_brute" -> oracled(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${sqlCosine("q.e", "c.e", 64)} AS cos
+         |  FROM v q, v c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 5)
+    },
+    "sim_lsh_topk" -> rowsOnly { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 5)
+    },
+    "sim_join" -> rowsOnly { (s, dir) =>
+      Similarity.similarityJoin(t(s, dir, "embeddings"),
+        "embedding", "vec_id", threshold = 0.9)
+    },
+    "mm_binary_meta" -> oracled(
+      s"""SELECT doc_id, octet_length(encode(text)) AS byte_length,
+         |  md5(text) AS digest, 'unknown' AS format FROM $D""".stripMargin) {
+      (s, dir) =>
+        BinaryMetadataEvaluator("payload")(
+          t(s, dir, D).withColumn("payload", col("text").cast("binary")))
+          .select("doc_id", "byte_length", "digest", "format")
+    },
+    "mm_decode_stub" -> oracled(
+      s"""WITH h AS (SELECT doc_id,
+         |  ('0x' || substr(md5(substr(text, 1, 64)), 1, 8))::BIGINT AS hv FROM $D)
+         |SELECT doc_id, CAST(hv % 640 + 1 AS INT) AS width,
+         |  CAST((hv // 640) % 480 + 1 AS INT) AS height, 3 AS channels FROM h""".stripMargin) {
+      (s, dir) =>
+        ImageDecodeStub("payload")(
+          t(s, dir, D).withColumn("payload", col("text").cast("binary")))
+          .select(col("doc_id"), col("decoded.width").as("width"),
+            col("decoded.height").as("height"), col("decoded.channels").as("channels"))
+    },
+    "mm_resize_stub" -> oracled(
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 8))::BIGINT % 640 + 1 AS INT) AS w,
+         |  CAST((('0x' || substr(md5(substr(text, 1, 64)), 1, 8))::BIGINT // 640) % 480 + 1 AS INT) AS h
+         |  FROM $D)
+         |SELECT doc_id,
+         |  CAST(floor(w * least(1.0, 256.0 / CAST(greatest(w, h) AS DOUBLE))) AS INT) AS rw,
+         |  CAST(floor(h * least(1.0, 256.0 / CAST(greatest(w, h) AS DOUBLE))) AS INT) AS rh
+         |FROM h""".stripMargin) { (s, dir) =>
+      val decoded = ImageDecodeStub("payload")(
+        t(s, dir, D).withColumn("payload", col("text").cast("binary")))
+      ImageResizeStub("decoded", 256)(decoded)
+        .select(col("doc_id"), col("resized.width").as("rw"), col("resized.height").as("rh"))
+    },
+    "mm_frame_sample" -> oracled(
+      s"""SELECT doc_id, list_filter(${sqlWords("text")}, (x, i) -> (i - 1) % 10 = 0)
+         |  AS sampled_frames FROM $D""".stripMargin) { (s, dir) =>
+      FrameSampler("frames", every = 10)(
+        t(s, dir, D).withColumn("frames", words(col("text"))))
+        .select("doc_id", "sampled_frames")
+    },
+    "stream_window_agg" -> oracled(
+      """SELECT CAST(epoch_ns(ts) // 300000000000 AS BIGINT) * 300 AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(20,2))) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Streaming.windowedEventStats(t(s, dir, "events"), widthSec = 300)
+    })
+
+  private def words(c: org.apache.spark.sql.Column) = graft.functions.text.words(c)
 
   /** DuckDB QA-F1 token normalization (matches QAF1SampleEvaluator.norm). */
   private def sqlF1Norm(c: String): String =

@@ -1,0 +1,168 @@
+package graft.ops.gen
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Op
+import graft.serving.{LLMMap, ServingClient}
+
+/** LLM/model-backed generators — SURVEY §2.8. Every op is a composition
+  * of the [[LLMMap]] primitive; prompt construction is plain `Column`
+  * expressions so everything before/after the serving call stays in
+  * codegen.
+  */
+
+/** `output = LLM(system, prompt + input)` — the canonical LLM map
+  * (`core_text/generate/prompted_generator.py:11-90`). */
+final case class PromptedGenerator(inputKey: String, outputKey: String,
+    serving: ServingClient, systemPrompt: String = "",
+    promptPrefix: String = "") extends Op {
+  val name = "prompted_generator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame = {
+    val prompted = df.withColumn("__prompt",
+      concat(lit(promptPrefix), col(inputKey)))
+    LLMMap.generated(prompted, "__prompt", outputKey, serving, systemPrompt)
+      .drop("__prompt")
+  }
+}
+
+/** Prompt template with {col} placeholders over many columns
+  * (`format_str_prompted_generator.py:17`). */
+final case class FormatStrPromptedGenerator(template: String, outputKey: String,
+    serving: ServingClient, systemPrompt: String = "") extends Op {
+  val name = "format_str_prompted_generator"
+  val inputKeys: Seq[String] =
+    "\\{([A-Za-z0-9_]+)\\}".r.findAllMatchIn(template).map(_.group(1)).toSeq.distinct
+  val outputKeys = Seq(outputKey)
+  def prompt: Column = {
+    // split template on {col} placeholders, build concat(lit, col, lit...)
+    val parts = "\\{([A-Za-z0-9_]+)\\}".r.split(template)
+    val keys = inputKeysInOrder
+    val pieces = new scala.collection.mutable.ArrayBuffer[Column]
+    parts.zipWithIndex.foreach { case (p, i) =>
+      pieces += lit(p)
+      if (i < keys.length) pieces += col(keys(i)).cast("string")
+    }
+    concat(pieces.toSeq: _*)
+  }
+  private def inputKeysInOrder: Seq[String] =
+    "\\{([A-Za-z0-9_]+)\\}".r.findAllMatchIn(template).map(_.group(1)).toSeq
+  def apply(df: DataFrame): DataFrame = {
+    val prompted = df.withColumn("__prompt", prompt)
+    LLMMap.generated(prompted, "__prompt", outputKey, serving, systemPrompt)
+      .drop("__prompt")
+  }
+}
+
+/** LLM judges each row; keep positives
+  * (`core_text/filter/prompted_filter.py:11-90`). */
+final case class PromptedFilter(inputKey: String, serving: ServingClient,
+    systemPrompt: String = "JUDGE") extends Op {
+  val name = "prompted_filter"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Nil
+  def apply(df: DataFrame): DataFrame =
+    LLMMap.generated(df, inputKey, "__judgment", serving, systemPrompt)
+      .filter(lower(col("__judgment")).startsWith("yes"))
+      .drop("__judgment")
+}
+
+/** LLM rewrites a column in place (`core_text/refine/prompted_refiner.py:10-60`). */
+final case class PromptedRefiner(inputKey: String, serving: ServingClient,
+    systemPrompt: String = "") extends Op {
+  val name = "prompted_refiner"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Nil
+  def apply(df: DataFrame): DataFrame =
+    LLMMap.generated(df, inputKey, "__rewritten", serving, systemPrompt)
+      .withColumn(inputKey, col("__rewritten")).drop("__rewritten")
+}
+
+/** Generic prompted numeric score (`core_text/eval/prompted_eval.py:10-97`). */
+final case class PromptedEvaluator(inputKey: String, outputKey: String,
+    serving: ServingClient, systemPrompt: String = "SCORE") extends Op {
+  val name = "prompted_evaluator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame =
+    LLMMap.generated(df, inputKey, "__raw", serving, systemPrompt)
+      .withColumn(outputKey, col("__raw").cast("double")).drop("__raw")
+}
+
+/** Two-stage critique + rewrite of answers
+  * (`text_sft/refine/condor_refiner.py:18-71`): chained LLM maps. */
+final case class CondorRefiner(inputKey: String, serving: ServingClient)
+    extends Op {
+  val name = "condor_refiner"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq("critique")
+  def apply(df: DataFrame): DataFrame = {
+    val critiqued = LLMMap.generated(df, inputKey, "critique", serving, "CRITIQUE")
+    val prompted = critiqued.withColumn("__p2",
+      concat(col(inputKey), lit(" <CRIT> "), col("critique")))
+    LLMMap.generated(prompted, "__p2", "__rewrite", serving, "REWRITE")
+      .withColumn(inputKey, col("__rewrite"))
+      .drop("__p2", "__rewrite")
+  }
+}
+
+/** Split long text into word-chunks, prompt each, concat responses
+  * (`chunked_prompted_generator.py:12`): explode → LLM map → re-agg.
+  * The re-agg shuffles on the row id — unavoidable for order-preserving
+  * reassembly; chunk count per row is bounded so no skew. */
+final case class ChunkedPromptedGenerator(inputKey: String, idKey: String,
+    outputKey: String, serving: ServingClient, chunkWords: Int = 20,
+    systemPrompt: String = "") extends Op {
+  val name = "chunked_prompted_generator"
+  val inputKeys = Seq(inputKey, idKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame = {
+    val ws = graft.functions.text.words(col(inputKey))
+    val nChunks = ceil(size(ws).cast("double") / chunkWords.toDouble).cast("int")
+    val chunks = df.withColumn("__chunks",
+      transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+        i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords)))))
+      .select(col(idKey), posexplode(col("__chunks")).as(Seq("__pos", "__chunk")))
+    val responded = LLMMap.generated(chunks, "__chunk", "__resp", serving, systemPrompt)
+    val reassembled = responded.groupBy(col(idKey))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__resp")))),
+        s => s("__resp")), " | ").as(outputKey))
+    df.join(reassembled, Seq(idKey), "left")
+  }
+}
+
+/** Embedding column via serving (`embedding_generator.py:9-54`). */
+final case class EmbeddingGenerator(inputKey: String, outputKey: String,
+    serving: ServingClient) extends Op {
+  val name = "embedding_generator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame =
+    LLMMap.embedded(df, inputKey, outputKey, serving)
+}
+
+/** Synthesize rows from nothing: seeds → LLM rows
+  * (`random_domain_knowledge_row_generator.py:17-78`). */
+object RowGenerator {
+  def domainRows(spark: org.apache.spark.sql.SparkSession, n: Long,
+      serving: ServingClient, systemPrompt: String = "GEN"): DataFrame = {
+    val seeds = spark.range(n).withColumn("__prompt",
+      concat(lit("seed-"), col("id")))
+    LLMMap.generated(seeds, "__prompt", "content", serving, systemPrompt)
+      .drop("__prompt")
+  }
+}
+
+/** Auto-prompt → question → answer chain over text fragments
+  * (`text2qa_generator.py:19`): two chained LLM maps. */
+final case class Text2QAGenerator(inputKey: String, serving: ServingClient)
+    extends Op {
+  val name = "text2qa_generator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq("question", "answer")
+  def apply(df: DataFrame): DataFrame = {
+    val q = LLMMap.generated(df, inputKey, "question", serving, "QGEN")
+    LLMMap.generated(q, "question", "answer", serving, "AGEN")
+  }
+}

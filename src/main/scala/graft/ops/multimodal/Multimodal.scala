@@ -1,0 +1,100 @@
+package graft.ops.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Op
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata. The Spark-side plumbing (schema, partitioning, batch
+  * shape) is real; the actual media decode is STUBBED deterministically —
+  * this container ships no image/audio libraries, and the decode seam is
+  * exactly one function to swap for a real codec.
+  */
+
+/** Typed metadata over a binary column: byte length, digest, magic-byte
+  * format sniff. Pure expressions — runs at scan speed. */
+final case class BinaryMetadataEvaluator(binKey: String = "payload") extends Op {
+  val name = "binary_metadata_evaluator"
+  val inputKeys = Seq(binKey)
+  val outputKeys = Seq("byte_length", "digest", "format")
+  def apply(df: DataFrame): DataFrame = {
+    val hexPrefix = upper(hex(substring(col(binKey), 1, 4)))
+    df.withColumn("byte_length", length(col(binKey)).cast("long"))
+      .withColumn("digest", md5(col(binKey)))
+      .withColumn("format",
+        when(hexPrefix.startsWith("FFD8"), "jpeg")
+          .when(hexPrefix.startsWith("89504E47"), "png")
+          .when(hexPrefix.startsWith("47494638"), "gif")
+          .when(hexPrefix.startsWith("52494646"), "riff")
+          .otherwise("unknown"))
+  }
+}
+
+/** Decode stub: a real implementation would run the codec per batch in
+  * `mapPartitions` (exactly this shape — iterator in, iterator out, one
+  * decoder instance per partition). The stub derives deterministic fake
+  * dimensions from the digest so the full pipeline — schema, batching,
+  * downstream filters — is testable hermetically. */
+final case class ImageDecodeStub(binKey: String = "payload",
+    outputKey: String = "decoded") extends Op {
+  val name = "image_decode_stub"
+  val inputKeys = Seq(binKey)
+  val outputKeys = Seq(outputKey)
+
+  private val decodedType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType)))
+
+  def apply(df: DataFrame): DataFrame = {
+    val schema = df.schema.add(StructField(outputKey, decodedType))
+    val idx = df.schema.fieldIndex(binKey)
+    df.mapPartitions { rows =>
+      // per-partition "decoder" init would go here (one codec instance)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val dims = ImageDecodeStub.fakeDims(bytes)
+        Row.fromSeq(r.toSeq :+ Row(dims._1, dims._2, dims._3))
+      }
+    }(Encoders.row(schema))
+  }
+}
+
+object ImageDecodeStub {
+  /** Deterministic fake decode: dims from the md5 of the payload.
+    * SWAP THIS for a real codec (e.g. TwelveMonkeys/ImageIO) in
+    * deployments that ship one. */
+  def fakeDims(bytes: Array[Byte]): (Int, Int, Int) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, 0)
+    val h = graft.serving.MockServing.hash32(new String(bytes.take(64), "ISO-8859-1"))
+    (((h % 640) + 640).toInt % 640 + 1, ((h / 640 % 480) + 480).toInt % 480 + 1, 3)
+  }
+}
+
+/** Resize/feature-extract stub over decoded dims: pure arithmetic on the
+  * struct (a real impl transforms pixel buffers partition-wise). */
+final case class ImageResizeStub(decodedKey: String = "decoded",
+    maxSide: Int = 256) extends Op {
+  val name = "image_resize_stub"
+  val inputKeys = Seq(decodedKey)
+  val outputKeys = Seq("resized")
+  def apply(df: DataFrame): DataFrame = {
+    val w = col(s"$decodedKey.width"); val h = col(s"$decodedKey.height")
+    val scale = least(lit(1.0), lit(maxSide) / greatest(w, h).cast("double"))
+    df.withColumn("resized", struct(
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height")))
+  }
+}
+
+/** Frame sampling for video-ish payloads: every k-th element of an array
+  * of binary frames (`explode`-free: keeps the row shape). */
+final case class FrameSampler(framesKey: String = "frames", every: Int = 10)
+    extends Op {
+  val name = "frame_sampler"
+  val inputKeys = Seq(framesKey)
+  val outputKeys = Seq("sampled_frames")
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("sampled_frames",
+      filter(col(framesKey), (_, i) => i % every === 0))
+}

@@ -1,0 +1,98 @@
+package graft.ops.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the corpus: one narrow pass over the corpus, per-partition
+  * top-k via window. Scale path: [[CosineLsh]] random-hyperplane buckets
+  * (or an IVF variant via k-means-ish centroids) so the join touches only
+  * same-bucket candidates — candidate count, not n×m.
+  */
+object Similarity {
+
+  /** Sequential-fold cosine — deterministic summation order, reproducible
+    * bit-for-bit against SQL oracles that fold the same way. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows (excluding itself), ties broken by corpus id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, embKey: String,
+      idKey: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idKey).as("neighbor_id"),
+      col(embKey).cast("array<double>").as("__ce"))
+    val q = queries.select(col(idKey).as("query_id"),
+      col(embKey).cast("array<double>").as("__qe"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qe"), col("__ce")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Random-hyperplane LSH bucketing: `bits` sign-bits of dot products
+    * with fixed pseudo-random planes (deterministic seed). Same-bucket
+    * candidates then rank exactly. Recall < 1 by construction — the
+    * 100 TB path where brute force is off the table. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, embKey: String,
+      idKey: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idKey).as("neighbor_id"),
+      col(embKey).cast("array<double>").as("__ce"))
+      .withColumn("__bucket", CosineLsh.bucket(col("__ce"), bits, dim))
+    val q = queries.select(col(idKey).as("query_id"),
+      col(embKey).cast("array<double>").as("__qe"))
+      .withColumn("__bucket", CosineLsh.bucket(col("__qe"), bits, dim))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qe"), col("__ce")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Cosine-similarity join: all pairs (a, b) with cos ≥ threshold, via
+    * LSH buckets (candidates only, then exact check). */
+  def similarityJoin(df: DataFrame, embKey: String, idKey: String,
+      threshold: Double, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val v = df.select(col(idKey), col(embKey).cast("array<double>").as("__v"))
+      .withColumn("__bucket", CosineLsh.bucket(col("__v"), bits, dim))
+    val l = v.select(col(idKey).as("a"), col("__v").as("va"), col("__bucket"))
+    val r = v.select(col(idKey).as("b"), col("__v").as("vb"), col("__bucket"))
+    l.join(r, Seq("__bucket")).where(col("a") < col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos").distinct()
+  }
+}
+
+object CosineLsh {
+  /** Deterministic pseudo-random hyperplanes: plane p, component i has
+    * weight in {-1, +1} from a fixed integer mix — cheap, reproducible,
+    * and good enough for sign-bucket LSH. */
+  private def weight(p: Int, i: Int): Double = {
+    var h = p * 1000003 + i * 7919 + 12345
+    h ^= (h << 13); h ^= (h >>> 17); h ^= (h << 5)
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+
+  def bucket(v: Column, bits: Int, dim: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val dot = (0 until dim).map(i => v.getItem(i) * lit(weight(p, i))).reduce(_ + _)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.serving
+
+/** Serving abstraction — the engine-side contract of the reference's
+  * `LLMServingABC.generate_from_input(user_inputs, system_prompt)`
+  * (`dataflow/core/llm_serving.py:5-9`). Implementations are used ONLY
+  * inside `mapPartitions` (per-partition client, bounded concurrency) —
+  * the whole LLM-operator family reduces to `Seq[String] => Seq[String]`.
+  */
+trait ServingClient extends Serializable {
+  /** Generate one response per prompt, order-preserving. */
+  def generate(prompts: Seq[String], systemPrompt: String): Seq[String]
+
+  /** Embed texts into fixed-dim vectors, order-preserving. */
+  def embed(texts: Seq[String]): Seq[Array[Double]]
+
+  def embeddingDim: Int = 16
+}
+
+/** Deterministic mock serving — the hermetic test double mirroring the
+  * reference's OpenAI-compatible Flask `dummy_server`
+  * (`test/dummy_server/app.py:17-40`). Response shape is a pure function
+  * of (systemPrompt, prompt), so every LLM-backed operator is
+  * reproducible and oracle-checkable:
+  *   - system starts with "JUDGE" → "yes" when prompt length is even
+  *   - system starts with "SCORE" → (len(prompt) mod 100) / 10.0
+  *   - otherwise                  → "echo[<system>]:<prompt>"
+  */
+final case class MockServing(dim: Int = 16) extends ServingClient {
+  override def embeddingDim: Int = dim
+
+  def generate(prompts: Seq[String], systemPrompt: String): Seq[String] =
+    prompts.map { p =>
+      if (systemPrompt.startsWith("JUDGE"))
+        if (p.length % 2 == 0) "yes" else "no"
+      else if (systemPrompt.startsWith("SCORE"))
+        ((p.length % 100) / 10.0).toString
+      else s"echo[$systemPrompt]:$p"
+    }
+
+  /** v_i = ((hash32(text) + 31 i) mod 1000) / 1000 — integer arithmetic
+    * then one exact division, portable to any SQL oracle. */
+  def embed(texts: Seq[String]): Seq[Array[Double]] =
+    texts.map { t =>
+      val h = MockServing.hash32(t)
+      Array.tabulate(dim)(i => ((h + 31L * i) % 1000L).toDouble / 1000.0)
+    }
+}
+
+object MockServing {
+  /** First 8 hex chars of md5 as a long — same as
+    * [[graft.functions.text.wordHash32]] but computed JVM-side. */
+  def hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+}
+
+/** OpenAI-compatible HTTP serving with a bounded-concurrency pool and
+  * retry — the Spark analogue of the reference's threaded API client
+  * (`serving/api_llm_serving_request.py:14-251`: max_workers=10,
+  * max_retries=5, timeouts 10s/120s). One instance per partition; callers
+  * batch prompts per partition so connection reuse amortizes.
+  *
+  * Zero-egress environments exercise [[MockServing]] instead; this client
+  * is the production path and is deliberately dependency-free
+  * (java.net.http + minimal JSON assembly/extraction).
+  */
+final case class HttpServing(endpoint: String, model: String,
+    apiKeyEnv: String = "LLM_API_KEY", maxWorkers: Int = 10,
+    maxRetries: Int = 5, connectTimeoutSec: Int = 10,
+    readTimeoutSec: Int = 120) extends ServingClient {
+
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(connectTimeoutSec.toLong))
+    .build()
+  @transient private lazy val pool =
+    java.util.concurrent.Executors.newFixedThreadPool(maxWorkers)
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def requestOnce(prompt: String, systemPrompt: String): String = {
+    val body =
+      s"""{"model":"${jsonEscape(model)}","messages":[
+         |{"role":"system","content":"${jsonEscape(systemPrompt)}"},
+         |{"role":"user","content":"${jsonEscape(prompt)}"}]}""".stripMargin
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofSeconds(readTimeoutSec.toLong))
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Bearer ${sys.env.getOrElse(apiKeyEnv, "")}")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() >= 300)
+      throw new java.io.IOException(s"serving HTTP ${resp.statusCode()}")
+    // minimal extraction of choices[0].message.content
+    val m = java.util.regex.Pattern
+      .compile(""""content"\s*:\s*"((?:[^"\\]|\\.)*)"""")
+      .matcher(resp.body())
+    var last: String = null
+    while (m.find()) last = m.group(1)
+    if (last == null) throw new java.io.IOException("no content in response")
+    org.apache.commons.text.StringEscapeUtils.unescapeJson(last)
+  }
+
+  private def withRetry[T](f: => T): T = {
+    var attempt = 0
+    var delay = 500L
+    while (true) {
+      try return f
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+          Thread.sleep(delay); delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def generate(prompts: Seq[String], systemPrompt: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val tasks = prompts.map { p =>
+      new java.util.concurrent.Callable[String] {
+        def call(): String = withRetry(requestOnce(p, systemPrompt))
+      }
+    }
+    pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+  }
+
+  def embed(texts: Seq[String]): Seq[Array[Double]] =
+    throw new UnsupportedOperationException(
+      "HttpServing.embed: wire an embeddings endpoint per deployment")
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.core.Pipeline
+
+/** Streaming tier.
+  *
+  * The reference's "streaming" is disk-backed micro-batching for memory
+  * control (`StreamBatchedFileStorage.iter_chunks`,
+  * `dataflow/utils/storage.py:1080-1184`; chunk-at-a-time pipeline with
+  * `(step,batch)` resume checkpoints, `pipeline/Pipeline.py:624-706`).
+  * Structured Streaming subsumes that exactly: file source → per-batch
+  * pipeline application → checkpointed sink; plus true event-time
+  * windows/watermarks the reference lacks.
+  */
+object Streaming {
+
+  /** Run an operator [[Pipeline]] chunk-at-a-time over files appearing in
+    * `srcDir`, writing parquet per micro-batch with checkpoint/resume —
+    * the Structured-Streaming mirror of `StreamBatchedPipelineABC`. */
+  def chunkedPipeline(spark: SparkSession, srcDir: String, schema: StructType,
+      pipeline: Pipeline, outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pipeline(batch).write.mode("append").parquet(s"$outDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Event-time tumbling-window aggregation over the events table.
+    * `ts` arrives as long nanos (TIMESTAMP(NANOS) parquet read with
+    * nanosAsLong); integer-divide into the window — exact, no double
+    * rounding at epoch-nano magnitudes. */
+  def windowedEventStats(events: DataFrame, widthSec: Long): DataFrame = {
+    val widthNanos = widthSec * 1000000000L
+    events
+      .withColumn("window_start",
+        (col("ts").cast("long") / widthNanos).cast("long") * widthSec)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,2)")).as("sum_value"))
+  }
+
+  /** The same aggregation as a true streaming query with watermark —
+    * late data beyond the watermark is dropped, state is bounded. */
+  def windowedEventStatsStreaming(stream: DataFrame, widthSec: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    val ts = (col("ts").cast("double") / 1e9).cast("timestamp")
+    stream.withColumn("__ts", ts)
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), s"$widthSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,2)")).as("sum_value"))
+  }
+
+  /** Session-ish stateful dedup across chunks: streaming dropDuplicates
+    * with watermark — the reference's cross-chunk `seen_hashes` set made
+    * fault-tolerant (its set survives only within one process run). */
+  def streamingDedup(stream: DataFrame, hashCol: Column,
+      watermark: String = "1 hour"): DataFrame = {
+    val ts = (col("ts").cast("double") / 1e9).cast("timestamp")
+    stream.withColumn("__ts", ts)
+      .withColumn("__h", hashCol)
+      .withWatermark("__ts", watermark)
+      .dropDuplicates("__h")
+      .drop("__h")
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.ops.gen._
+import graft.ops.sim.Similarity
+import graft.ops.text2sql._
+import graft.serving.MockServing
+import graft.streaming.Streaming
+
+class TiersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  val mock = MockServing()
+
+  test("prompted generator appends deterministic mock output") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("bb", 2L)).toDF("text", "id")
+    val out = PromptedGenerator("text", "gen", mock, "S")(df)
+      .orderBy("id").select("gen").as[String].collect()
+    assert(out.toSeq == Seq("echo[S]:a", "echo[S]:bb"))
+  }
+
+  test("prompted filter keeps LLM-approved rows only") {
+    import spark.implicits._
+    val df = Seq("ab", "abc", "abcd").toDF("text") // even lengths pass
+    val out = PromptedFilter("text", mock)(df).select("text").as[String].collect()
+    assert(out.toSet == Set("ab", "abcd"))
+  }
+
+  test("chunked generator reassembles chunks in order") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 45).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val out = ChunkedPromptedGenerator("text", "id", "gen", mock, chunkWords = 20)(df)
+      .select("gen").as[String].head()
+    val parts = out.split(" \\| ")
+    assert(parts.length == 3)
+    assert(parts(0).startsWith("echo[]:w1 ") && parts(2).contains("w45"))
+  }
+
+  test("cot voting picks the modal response") {
+    import spark.implicits._
+    val df = Seq("SELECT 1").toDF("sql")
+    val out = Text2SQLCoTVotingGenerator("sql", "cot", mock, samples = 3)(df)
+      .select("cot").as[String].head()
+    assert(out == "echo[COT]:SELECT 1#0") // suffixes 0,1,0 → #0 wins 2:1
+  }
+
+  test("sql execution filter keeps runnable statements") {
+    import spark.implicits._
+    val df = Seq("SELECT 1 AS x", "SELECT * FROM no_such_table_zz").toDF("sql")
+    val out = SQLExecutionFilter("sql")(df).select("sql").as[String].collect()
+    assert(out.toSeq == Seq("SELECT 1 AS x"))
+  }
+
+  test("lsh topk recall vs brute force is high on testdata") {
+    val emb = Storage.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, q, "embedding", "vec_id", 5, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall $recall") // 4-bit buckets on 500 vecs
+  }
+
+  test("streaming windowed agg matches batch semantics") {
+    val events = Storage.table(spark, sf, "events")
+    val batch = Streaming.windowedEventStats(events, 300)
+      .orderBy("window_start", "event_type").collect()
+    assert(batch.nonEmpty)
+    // streaming run over the same data through a memory sink
+    // (file stream source requires a directory → stage a copy)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+    val q = Streaming.windowedEventStatsStreaming(stream, 300, "0 seconds")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_test").count()
+      assert(got == batch.length.toLong)
+    } finally q.stop()
+  }
+
+  test("chunked streaming pipeline processes files with checkpointing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_docs")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      srcDir.resolve("documents.parquet"))
+    val docs = Storage.table(spark, sf, "documents")
+    val pipeline = Pipeline.of(
+      graft.ops.refine.LowercaseRefiner("text"),
+      graft.ops.filter.CharNumberFilter("text", 1))
+    val q = Streaming.chunkedPipeline(spark, srcDir.toString,
+      docs.schema, pipeline, s"$tmp/out", s"$tmp/ckpt")
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/out/batch=0")
+    assert(out.count() == docs.count())
+  }
+
+  test("multimodal decode stub yields bounded dims") {
+    import spark.implicits._
+    val docs = Storage.table(spark, sf, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+    val out = graft.ops.multimodal.ImageDecodeStub("payload")(docs)
+    val dims = out.select(col("decoded.width"), col("decoded.height")).as[(Int, Int)].collect()
+    assert(dims.forall { case (w, h) => w >= 1 && w <= 640 && h >= 1 && h <= 480 })
+  }
+}

@@ -20,11 +20,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            # Decimal → float-ish string comparison; lists → tuples
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            # lists/arrays → tuples so rows sort and compare
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
