@@ -50,7 +50,7 @@ object SparkEntry {
 
   private lazy val registry: Map[String, Q] = relational ++ filters ++ dedups ++
     refiners ++ evals ++ aggs ++ filters2 ++ refiners2 ++ misc ++ serving ++
-    text2sql ++ advanced
+    text2sql ++ advanced ++ corpus
 
   // ---- relational / TPC-H-ish bench surface -------------------------------
   private def relational: Map[String, Q] = Map(
@@ -746,6 +746,93 @@ object SparkEntry {
     })
 
   private def words(c: org.apache.spark.sql.Column) = graft.functions.text.words(c)
+
+  // ---- corpus-level evaluators, nested aggs, windows, chunk explode -------
+  private def corpus: Map[String, Q] = Map(
+    "eval_cider" -> oracled(
+      s"""WITH pairs AS (
+         |  SELECT a.doc_id AS doc_id, a.text AS pred, b.text AS gold
+         |  FROM $D a JOIN $D b ON b.doc_id = a.doc_id + 1),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pairs),
+         |rdist AS (SELECT doc_id, unnest(list_distinct(${sqlWords("gold")})) AS tok FROM pairs),
+         |idf AS (SELECT tok, ln((SELECT n FROM nn) / COUNT(*)) AS idf FROM rdist GROUP BY tok),
+         |pt AS (SELECT doc_id, tok, COUNT(*) AS tf_p FROM
+         |  (SELECT doc_id, unnest(${sqlWords("pred")}) AS tok FROM pairs) GROUP BY doc_id, tok),
+         |rt AS (SELECT doc_id, tok, COUNT(*) AS tf_r FROM
+         |  (SELECT doc_id, unnest(${sqlWords("gold")}) AS tok FROM pairs) GROUP BY doc_id, tok),
+         |j AS (SELECT coalesce(pt.doc_id, rt.doc_id) AS doc_id,
+         |  coalesce(pt.tok, rt.tok) AS tok,
+         |  coalesce(tf_p, 0) AS tf_p, coalesce(tf_r, 0) AS tf_r
+         |  FROM pt FULL JOIN rt ON pt.doc_id = rt.doc_id AND pt.tok = rt.tok),
+         |w AS (SELECT j.doc_id, tf_p * coalesce(idf.idf, 0.0) AS wp,
+         |  tf_r * coalesce(idf.idf, 0.0) AS wr FROM j LEFT JOIN idf ON j.tok = idf.tok),
+         |s AS (SELECT doc_id, SUM(wp * wr) AS dot, sqrt(SUM(wp * wp)) AS np,
+         |  sqrt(SUM(wr * wr)) AS nr FROM w GROUP BY doc_id)
+         |SELECT doc_id, CASE WHEN np = 0 OR nr = 0 THEN 0.0
+         |  ELSE round(dot / (np * nr), 6) END AS cider FROM s""".stripMargin) {
+      (s, dir) =>
+        val d = t(s, dir, D)
+        val pairs = d.select(col("doc_id"), col("text").as("pred"))
+          .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("gold")),
+            Seq("doc_id"))
+        CorpusEvaluators.ciderUnigram(pairs, "pred", "gold", "doc_id")
+    },
+    "refine_remove_emoticons" -> refineQ(RemoveEmoticonsRefiner("text"),
+      s"array_to_string(list_filter(${sqlWords("text")}, w -> NOT list_contains(" +
+        RemoveEmoticonsRefiner.table
+          .map(e => "'" + e.replace("\\", "\\\\").replace("'", "''") + "'")
+          .mkString("[", ",", "]") + ", w)), ' ')"),
+    "refine_spelling" -> refineQ(SpellingCorrectionRefiner("text"),
+      s"array_to_string(list_transform(${sqlWords("text")}, w -> CASE " +
+        SpellingCorrectionRefiner.defaults.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"WHEN w = '$k' THEN '$v'" }.mkString(" ") +
+        " ELSE w END), ' ')"),
+    "filter_lexical_diversity" -> filterQ(LexicalDiversityFilter("text", 0.45, 1.0),
+      s"CAST(len(list_distinct(${sqlWords("text")})) AS DOUBLE) / " +
+        s"CAST(${sqlWordCount("text")} AS DOUBLE) BETWEEN 0.45 AND 1.0"),
+    "agg_collect_docs" -> oracled(
+      s"SELECT lang, list(doc_id ORDER BY doc_id) AS doc_ids FROM $D GROUP BY lang") {
+      (s, dir) =>
+        t(s, dir, D).groupBy("lang")
+          .agg(array_sort(collect_list(col("doc_id"))).as("doc_ids"))
+    },
+    "kbc_chunks" -> oracled(
+      s"""SELECT doc_id, unnest(list_transform(
+         |  range(0, greatest(CAST(ceil(CAST(${sqlWordCount("text")} AS DOUBLE) / 20.0) AS BIGINT), 1)),
+         |  i -> struct_pack(pos := CAST(i AS INT),
+         |    chunk := array_to_string(list_slice(${sqlWords("text")}, i*20 + 1, i*20 + 20), ' '))),
+         |  recursive := true)
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      val nChunks = ceil(size(ws).cast("double") / 20.0).cast("int")
+      t(s, dir, D).withColumn("__chunks",
+        transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+          i => concat_ws(" ", slice(ws, i * 20 + 1, lit(20)))))
+        .select(col("doc_id"), posexplode(col("__chunks")).as(Seq("pos", "chunk")))
+    },
+    "window_running_sum" -> oracled(
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER w AS rn,
+        |  SUM(CAST(l_quantity AS DECIMAL(20,2))) OVER w AS run_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        t(s, dir, "lineitem").select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"),
+          sum(col("l_quantity").cast("decimal(20,2)")).over(w).as("run_qty"))
+    },
+    "agg_mmd" -> rowsOnly { (s, dir) =>
+      val v = CorpusEvaluators.mmdRbf(t(s, dir, "embeddings"),
+        "embedding", col("label") < 5)
+      s.createDataFrame(Seq(Tuple1(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))))
+        .toDF("mmd")
+    })
 
   /** DuckDB QA-F1 token normalization (matches QAF1SampleEvaluator.norm). */
   private def sqlF1Norm(c: String): String =

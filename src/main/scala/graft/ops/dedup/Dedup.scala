@@ -148,18 +148,29 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
   private val SEGS = hammingK + 1
   private val segBits = BITS / SEGS
 
-  def simhash(c: Column): Column = {
-    // 60-bit word hash direct from the md5 prefix (15 hex chars) — stays
-    // positive in a signed long, no overflow in the bit arithmetic below.
-    val hashes = transform(words(c),
-      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
-    val bitCols = (0 until BITS).map { k =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << k)).otherwise(lit(0L))
+  /** 60-bit simhash: per-word 60-bit hash (md5 prefix), ±1 bit votes,
+    * sign → fingerprint. Imperative kernel (one md5 + one counter pass
+    * per word beats a 60-aggregate expression tree ~30×). */
+  private val simhashUdf = udf { ws: Seq[String] =>
+    val votes = new Array[Int](60)
+    if (ws != null) ws.foreach { w =>
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+          .substring(0, 15), 16)
+      var k = 0
+      while (k < 60) {
+        if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
     }
-    bitCols.reduce(_ + _)
+    var sig = 0L
+    var k = 0
+    while (k < 60) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+    sig
   }
+
+  def simhash(c: Column): Column = simhashUdf(words(c))
 
   def apply(df: DataFrame): DataFrame = {
     val withSig = df.withColumn("__sig", simhash(col(inputKey)))
@@ -249,14 +260,11 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Cosine similarity of two double-array columns via a sequential fold
-    * (deterministic summation order — reproducible against SQL oracles). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity via the native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]) — strict left fold, so results
+    * are bit-reproducible against SQL oracles that fold the same way. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.cosineSim(a, b)
 
   private[dedup] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

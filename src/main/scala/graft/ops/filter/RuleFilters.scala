@@ -253,6 +253,18 @@ final case class LanguageFilter(inputKey: String = "lang",
   def predicate: Column = col(inputKey).isin(allowed: _*)
 }
 
+/** Lexical diversity (type-token ratio) in range
+  * (`general_text/filter/lexical_diversity_filter.py:10-48`). */
+final case class LexicalDiversityFilter(inputKey: String = "text",
+    minTtr: Double = 0.0, maxTtr: Double = 1.0) extends FilterOp {
+  val name = "lexical_diversity_filter"
+  val inputKeys = Seq(inputKey)
+  def predicate: Column = {
+    val ttr = uniqueWordRatio(col(inputKey))
+    ttr >= minTtr && ttr <= maxTtr
+  }
+}
+
 /** The reference's GeneralFilter takes user lambdas `df → bool`
   * (`core_text/filter/general_filter.py:8-76`); the Spark-native analogue
   * accepts arbitrary `Column` predicates directly. */

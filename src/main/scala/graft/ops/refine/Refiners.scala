@@ -152,6 +152,44 @@ final case class NERRefiner(inputKey: String = "text") extends RefineOp {
       "([a-z],? )([A-Z][a-z]+( [A-Z][a-z]+)+)", "$1<ENTITY>")
 }
 
+/** Strip emoticons via a fixed dictionary (token-exact), the bounded
+  * form of `remove_emoticons_refiner.py:9`'s ~5k-entry table. */
+final case class RemoveEmoticonsRefiner(inputKey: String = "text") extends RefineOp {
+  val name = "remove_emoticons_refiner"
+  def refined: Column = {
+    val emoticons = array(RemoveEmoticonsRefiner.table.map(lit): _*)
+    concat_ws(" ",
+      filter(graft.functions.text.words(col(inputKey)),
+        w => !array_contains(emoticons, w)))
+  }
+}
+object RemoveEmoticonsRefiner {
+  val table: Seq[String] = Seq(":)", ":(", ":D", ":P", ";)", ":-)", ":-(",
+    ":'(", ":o", ":O", "xD", "XD", "<3", ":|", ":/", ":\\", "=)", "=(",
+    "^_^", "o_O", "-_-", "T_T")
+}
+
+/** Dictionary spelling correction — symspell degraded to a broadcast
+  * correction table (`spelling_correction_refiner.py:12`). */
+final case class SpellingCorrectionRefiner(inputKey: String = "text",
+    corrections: Map[String, String] = SpellingCorrectionRefiner.defaults)
+    extends RefineOp {
+  val name = "spelling_correction_refiner"
+  def refined: Column = {
+    val keys = corrections.keys.toSeq.sorted
+    val pairs = map(keys.flatMap(k => Seq(lit(k), lit(corrections(k)))): _*)
+    concat_ws(" ",
+      transform(graft.functions.text.words(col(inputKey)),
+        w => coalesce(element_at(pairs, w), w)))
+  }
+}
+object SpellingCorrectionRefiner {
+  val defaults: Map[String, String] = Map(
+    "teh" -> "the", "recieve" -> "receive", "seperate" -> "separate",
+    "definately" -> "definitely", "occured" -> "occurred",
+    "untill" -> "until", "wich" -> "which", "adress" -> "address")
+}
+
 /** Porter-stemmer lite: strip common English suffixes per word
   * (`stemming_lemmatization_refiner.py:10`; deterministic rule subset). */
 final case class StemmingRefiner(inputKey: String = "text") extends RefineOp {

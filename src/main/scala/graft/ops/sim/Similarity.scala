@@ -14,14 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold cosine — deterministic summation order, reproducible
-    * bit-for-bit against SQL oracles that fold the same way. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
-    dot / (na * nb)
-  }
+  /** Sequential-fold cosine via the native codegen'd expression — same
+    * IEEE op order as a left-fold SQL oracle, bit-reproducible. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.cosineSim(a, b)
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows (excluding itself), ties broken by corpus id. */

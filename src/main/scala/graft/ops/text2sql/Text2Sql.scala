@@ -120,7 +120,18 @@ final case class SQLExecutionFilter(sqlKey: String, timeoutSec: Int = 5)
     val spark = df.sparkSession
     val distinctSql = df.select(sqlKey).distinct()
       .collect().map(_.getString(0)).toSeq
-    val verdicts = distinctSql.map(q => (q, SqlExecutor.runs(spark, q, timeoutSec)))
+    // spark.sql is thread-safe: fan the distinct statements over a driver
+    // pool (the reference uses 20 workers, database_manager.py:110-113)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val verdicts = try {
+      import scala.jdk.CollectionConverters._
+      val tasks = distinctSql.map { q =>
+        new java.util.concurrent.Callable[(String, Boolean)] {
+          def call(): (String, Boolean) = (q, SqlExecutor.runs(spark, q, timeoutSec))
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
     val vdf = spark.createDataFrame(verdicts).toDF(sqlKey, "__ok")
     df.join(broadcast(vdf), Seq(sqlKey), "left")
       .filter(col("__ok")).drop("__ok")
