@@ -1,0 +1,107 @@
+package graft
+
+import graft.core.{Op, Registry}
+import graft.ops.filter._
+import graft.ops.refine._
+import graft.ops.dedup._
+import graft.ops.eval._
+import graft.ops.text._
+import graft.serving.MockServing
+
+/** Name → factory registration for the operator inventory, mirroring the
+  * reference's `OPERATOR_REGISTRY` discovery so pipelines are declarable
+  * by name (`dataflow/utils/registry.py:257`,
+  * `core/operator.py:17-28` get_operator).
+  */
+object Ops {
+  import Registry.Params
+  private def key(p: Params) = p.getOrElse("input_key", "text")
+  private def i(p: Params, k: String, d: Int) = p.get(k).map(_.toInt).getOrElse(d)
+  private def d(p: Params, k: String, dv: Double) = p.get(k).map(_.toDouble).getOrElse(dv)
+
+  @volatile private var registered = false
+
+  def registerAll(): Unit = synchronized {
+    if (registered) return
+    registered = true
+    val entries: Seq[(String, Params => Op)] = Seq(
+      "word_number_filter" -> (p => WordNumberFilter(key(p), i(p, "min", 20), i(p, "max", 100000))),
+      "colon_end_filter" -> (p => ColonEndFilter(key(p))),
+      "sentence_number_filter" -> (p => SentenceNumberFilter(key(p), i(p, "min", 1), i(p, "max", 1000))),
+      "line_end_ellipsis_filter" -> (p => LineEndWithEllipsisFilter(key(p), d(p, "max_ratio", 0.3))),
+      "content_null_filter" -> (p => ContentNullFilter(key(p))),
+      "symbol_word_ratio_filter" -> (p => SymbolWordRatioFilter(key(p), d(p, "max_ratio", 0.4))),
+      "alpha_words_filter" -> (p => AlphaWordsFilter(key(p), d(p, "min_ratio", 0.6))),
+      "html_entity_filter" -> (p => HtmlEntityFilter(key(p))),
+      "id_card_filter" -> (p => IDCardFilter(key(p))),
+      "no_punc_filter" -> (p => NoPuncFilter(key(p), i(p, "max_run", 56))),
+      "special_character_filter" -> (p => SpecialCharacterFilter(key(p))),
+      "watermark_filter" -> (p => WatermarkFilter(key(p))),
+      "mean_word_length_filter" -> (p => MeanWordLengthFilter(key(p), d(p, "min", 3), d(p, "max", 10))),
+      "stop_word_filter" -> (p => StopWordFilter(key(p), d(p, "min_ratio", 0.06))),
+      "curly_bracket_filter" -> (p => CurlyBracketFilter(key(p), d(p, "max_ratio", 0.025))),
+      "capital_words_filter" -> (p => CapitalWordsFilter(key(p), d(p, "max_ratio", 0.2))),
+      "lorem_ipsum_filter" -> (p => LoremIpsumFilter(key(p), d(p, "max_ratio", 3e-8))),
+      "unique_words_filter" -> (p => UniqueWordsFilter(key(p), d(p, "min_ratio", 0.1))),
+      "char_number_filter" -> (p => CharNumberFilter(key(p), i(p, "min_chars", 100))),
+      "line_start_bullet_filter" -> (p => LineStartWithBulletpointFilter(key(p), d(p, "max_ratio", 0.9))),
+      "line_javascript_filter" -> (p => LineWithJavascriptFilter(key(p), i(p, "max_lines", 3))),
+      "blocklist_filter" -> (p => BlocklistFilter(key(p), p.getOrElse("blocklist", "").split(',').toSeq, i(p, "max_hits", 1))),
+      "ngram_filter" -> (p => NgramFilter(key(p), i(p, "n", 5), d(p, "min", 0.0), d(p, "max", 1.0))),
+      "language_filter" -> (p => LanguageFilter(p.getOrElse("input_key", "lang"), p.getOrElse("allowed", "en").split(',').toSeq)),
+      "lexical_diversity_filter" -> (p => LexicalDiversityFilter(key(p), d(p, "min", 0.0), d(p, "max", 1.0))),
+      "remove_emoji_refiner" -> (p => RemoveEmojiRefiner(key(p))),
+      "remove_extra_spaces_refiner" -> (p => RemoveExtraSpacesRefiner(key(p))),
+      "remove_number_refiner" -> (p => RemoveNumberRefiner(key(p))),
+      "remove_punctuation_refiner" -> (p => RemovePunctuationRefiner(key(p))),
+      "remove_repetitions_punctuation_refiner" -> (p => RemoveRepetitionsPunctuationRefiner(key(p))),
+      "remove_stopwords_refiner" -> (p => RemoveStopwordsRefiner(key(p))),
+      "remove_image_refs_refiner" -> (p => RemoveImageRefsRefiner(key(p))),
+      "html_entity_refiner" -> (p => HtmlEntityRefiner(key(p))),
+      "html_url_remover_refiner" -> (p => HtmlUrlRemoverRefiner(key(p))),
+      "lowercase_refiner" -> (p => LowercaseRefiner(key(p))),
+      "remove_contractions_refiner" -> (p => RemoveContractionsRefiner(key(p))),
+      "reference_remover_refiner" -> (p => ReferenceRemoverRefiner(key(p))),
+      "text_normalization_refiner" -> (p => TextNormalizationRefiner(key(p))),
+      "pii_anonymize_refiner" -> (p => PIIAnonymizeRefiner(key(p))),
+      "ner_refiner" -> (p => NERRefiner(key(p))),
+      "stemming_refiner" -> (p => StemmingRefiner(key(p))),
+      "remove_emoticons_refiner" -> (p => RemoveEmoticonsRefiner(key(p))),
+      "spelling_correction_refiner" -> (p => SpellingCorrectionRefiner(key(p))),
+      "hash_deduplicate_filter" -> (p => HashDeduplicateFilter(Seq(key(p)), p.getOrElse("order_key", "doc_id"), p.getOrElse("algo", "md5"))),
+      "ccnet_deduplicate_filter" -> (p => CCNetDeduplicateFilter(key(p), p.getOrElse("order_key", "doc_id"))),
+      "ngram_hash_deduplicate_filter" -> (p => NgramHashDeduplicateFilter(key(p), p.getOrElse("order_key", "doc_id"), i(p, "n", 3))),
+      "minhash_deduplicate_filter" -> (p => MinHashDeduplicateFilter(key(p), p.getOrElse("order_key", "doc_id"), i(p, "ngram", 3), i(p, "num_perm", 128), i(p, "bands", 32), d(p, "threshold", 0.9))),
+      "simhash_deduplicate_filter" -> (p => SimHashDeduplicateFilter(key(p), p.getOrElse("order_key", "doc_id"), i(p, "hamming_k", 3))),
+      "sem_deduplicate_filter" -> (p => SemDeduplicateFilter(p.getOrElse("input_key", "embedding"), p.getOrElse("order_key", "vec_id"), d(p, "eps", 0.05))),
+      "kcenter_greedy_filter" -> (p => KCenterGreedyFilter(p.getOrElse("input_key", "embedding"), p.getOrElse("order_key", "vec_id"), i(p, "k", 100))),
+      "ngram_sample_evaluator" -> (p => NgramSampleEvaluator(key(p), i(p, "n", 5))),
+      "lexical_diversity_sample_evaluator" -> (p => LexicalDiversitySampleEvaluator(key(p))),
+      "qa_f1_sample_evaluator" -> (p => QAF1SampleEvaluator(p.getOrElse("pred_key", "pred"), p.getOrElse("gold_key", "gold"))),
+      "bleu_sample_evaluator" -> (p => BleuSampleEvaluator(p.getOrElse("pred_key", "pred"), p.getOrElse("ref_key", "ref"))),
+      "langkit_sample_evaluator" -> (p => LangkitSampleEvaluator(key(p))),
+      "presidio_sample_evaluator" -> (p => PresidioSampleEvaluator(key(p))),
+      "language_id_evaluator" -> (p => LanguageIdEvaluator(key(p))),
+      "quality_score_evaluator" -> (p => QualityScoreEvaluator(key(p))),
+      "token_count_evaluator" -> (p => TokenCountEvaluator(key(p))),
+      "fingerprint_evaluator" -> (p => FingerprintEvaluator(key(p))),
+      "prompted_generator" -> (p => graft.ops.gen.PromptedGenerator(key(p), p.getOrElse("output_key", "gen"), MockServing(), p.getOrElse("system_prompt", ""))),
+      "prompted_filter" -> (p => graft.ops.gen.PromptedFilter(key(p), MockServing())),
+      "prompted_refiner" -> (p => graft.ops.gen.PromptedRefiner(key(p), MockServing())),
+      "prompted_evaluator" -> (p => graft.ops.gen.PromptedEvaluator(key(p), p.getOrElse("output_key", "score"), MockServing())),
+      "sql_executability_filter" -> (p => graft.ops.text2sql.SQLExecutabilityFilter(p.getOrElse("input_key", "sql"))),
+      "sql_component_classifier" -> (p => graft.ops.text2sql.SQLComponentClassifier(p.getOrElse("input_key", "sql"))),
+      "sql_execution_filter" -> (p => graft.ops.text2sql.SQLExecutionFilter(p.getOrElse("input_key", "sql"), i(p, "timeout_sec", 5))),
+      "answer_format_filter" -> (p => graft.ops.reasoning.AnswerFormatFilter(p.getOrElse("input_key", "answer"))),
+      "answer_groundtruth_filter" -> (p => graft.ops.reasoning.AnswerGroundTruthFilter(p.getOrElse("answer_key", "answer"), p.getOrElse("golden_key", "golden_answer"))),
+      "answer_ngram_filter" -> (p => graft.ops.reasoning.AnswerNgramFilter(p.getOrElse("question_key", "question"), p.getOrElse("answer_key", "answer"))),
+      "answer_token_length_filter" -> (p => graft.ops.reasoning.AnswerTokenLengthFilter(p.getOrElse("input_key", "answer"), i(p, "max_tokens", 8192))),
+      "conversation_builder" -> (p => graft.ops.conversations.ConversationBuilder(p.getOrElse("instruction_key", "instruction"), p.getOrElse("output_key", "output"))),
+      "conversation_stats_evaluator" -> (p => graft.ops.conversations.ConversationStatsEvaluator()),
+      "system_column_merger" -> (p => graft.ops.conversations.SystemColumnMerger(p.getOrElse("system_cols", "doc_id").split(',').toSeq)),
+      "binary_metadata_evaluator" -> (p => graft.ops.multimodal.BinaryMetadataEvaluator(p.getOrElse("input_key", "payload"))),
+      "image_decode_stub" -> (p => graft.ops.multimodal.ImageDecodeStub(p.getOrElse("input_key", "payload"))),
+      "frame_sampler" -> (p => graft.ops.multimodal.FrameSampler(p.getOrElse("input_key", "frames"), i(p, "every", 10))))
+    entries.foreach { case (n, f) => Registry.register(n)(f) }
+  }
+}

@@ -9,6 +9,8 @@ import graft.ops.dedup._
 import graft.ops.eval._
 import graft.ops.gen._
 import graft.ops.text._
+import graft.ops.reasoning._
+import graft.ops.conversations._
 import graft.ops.text2sql._
 import graft.ops.sim.Similarity
 import graft.ops.multimodal._
@@ -50,7 +52,7 @@ object SparkEntry {
 
   private lazy val registry: Map[String, Q] = relational ++ filters ++ dedups ++
     refiners ++ evals ++ aggs ++ filters2 ++ refiners2 ++ misc ++ serving ++
-    text2sql ++ advanced ++ corpus
+    text2sql ++ advanced ++ corpus ++ domain
 
   // ---- relational / TPC-H-ish bench surface -------------------------------
   private def relational: Map[String, Q] = Map(
@@ -746,6 +748,107 @@ object SparkEntry {
     })
 
   private def words(c: org.apache.spark.sql.Column) = graft.functions.text.words(c)
+
+  // ---- reasoning + conversations + storage-payload ops --------------------
+  // synthesized reasoning columns over documents: question carries the id
+  // digits, answers are boxed for even ids only
+  private def withReasoningCols(df: DataFrame): DataFrame = df
+    .withColumn("question", concat(col("text"), lit(" "), col("doc_id")))
+    .withColumn("answer",
+      when(col("doc_id") % 2 === 0,
+        concat(lit("the result is \\boxed{"), col("doc_id"), lit("}")))
+        .otherwise(lit("no final value")))
+    .withColumn("golden_answer", col("doc_id").cast("string"))
+  private val sqlReasoningAnswer =
+    """CASE WHEN doc_id % 2 = 0 THEN 'the result is \boxed{' || doc_id || '}'
+      |     ELSE 'no final value' END""".stripMargin
+
+  private def domain: Map[String, Q] = Map(
+    "reasoning_answer_extract" -> oracled(
+      s"""WITH r AS (SELECT doc_id, $sqlReasoningAnswer AS ans FROM $D)
+         |SELECT doc_id, CASE
+         |  WHEN len(regexp_extract_all(ans, '\\\\boxed\\{([^}]*)\\}', 1)) > 0
+         |    THEN (regexp_extract_all(ans, '\\\\boxed\\{([^}]*)\\}', 1))[-1]
+         |  WHEN len(regexp_extract_all(ans, '-?[0-9]+(\\.[0-9]+)?', 0)) > 0
+         |    THEN (regexp_extract_all(ans, '-?[0-9]+(\\.[0-9]+)?', 0))[-1]
+         |  ELSE '' END AS extracted
+         |FROM r""".stripMargin) { (s, dir) =>
+      withReasoningCols(t(s, dir, D))
+        .select(col("doc_id"), AnswerExtraction.finalAnswer(col("answer")).as("extracted"))
+    },
+    "filter_answer_format" -> oracled(
+      s"""WITH r AS (SELECT doc_id, n_chars, $sqlReasoningAnswer AS ans FROM $D)
+         |SELECT doc_id, n_chars FROM r
+         |WHERE regexp_matches(ans, '\\\\boxed\\{[^}]*\\}')
+         |   OR regexp_matches(lower(ans), 'answer\\s*(is|:)')""".stripMargin) {
+      (s, dir) =>
+        AnswerFormatFilter("answer")(withReasoningCols(t(s, dir, D)))
+          .select("doc_id", "n_chars")
+    },
+    "filter_answer_groundtruth" -> oracled(
+      s"SELECT doc_id, n_chars FROM $D WHERE doc_id % 2 = 0") { (s, dir) =>
+      AnswerGroundTruthFilter("answer", "golden_answer")(
+        withReasoningCols(t(s, dir, D))).select("doc_id", "n_chars")
+    },
+    "filter_answer_ngram" -> oracled(
+      s"""WITH r AS (SELECT doc_id, n_chars, text AS question,
+         |  CASE WHEN doc_id % 2 = 0 THEN text ELSE lang END AS ans FROM $D),
+         |g AS (SELECT doc_id, n_chars,
+         |  list_distinct(${sqlWordNgrams("question", 3)}) AS qg,
+         |  list_distinct(${sqlWordNgrams("ans", 3)}) AS ag FROM r)
+         |SELECT doc_id, n_chars FROM g
+         |WHERE len(list_distinct(list_concat(qg, ag))) = 0
+         |   OR CAST(len(list_intersect(qg, ag)) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(qg, ag))) AS DOUBLE) <= 0.5""".stripMargin) {
+      (s, dir) =>
+        val df = t(s, dir, D).withColumn("question", col("text"))
+          .withColumn("ans",
+            when(col("doc_id") % 2 === 0, col("text")).otherwise(col("lang")))
+        AnswerNgramFilter("question", "ans", 3, 0.5)(df).select("doc_id", "n_chars")
+    },
+    "filter_answer_token_length" -> oracled(
+      s"SELECT doc_id, n_chars FROM $D WHERE ${sqlWordCount("text")} <= 60") {
+      (s, dir) =>
+        AnswerTokenLengthFilter("text", 60)(t(s, dir, D)).select("doc_id", "n_chars")
+    },
+    "gen_reasoning_answer" -> oracled(
+      s"""SELECT doc_id, 'echo[ANSWER]:' || text || ' ' || doc_id AS answer,
+         |  CAST(doc_id AS VARCHAR) AS extracted_answer FROM $D""".stripMargin) {
+      (s, dir) =>
+        ReasoningAnswerGenerator("question", mock)(
+          withReasoningCols(t(s, dir, D)).drop("answer"))
+          .select("doc_id", "answer", "extracted_answer")
+    },
+    "gen_pseudo_answer" -> oracled(
+      s"SELECT doc_id, '0' AS pseudo_answer FROM $D") { (s, dir) =>
+      PseudoAnswerGenerator("question", mock, samples = 3)(
+        withReasoningCols(t(s, dir, D)))
+        .select("doc_id", "pseudo_answer")
+    },
+    "conv_build_stats" -> oracled(
+      s"""SELECT doc_id, 2::BIGINT AS n_turns, 1::BIGINT AS n_user_turns,
+         |  CAST(length(text) + length('echo[ASSIST]:' || text) AS BIGINT)
+         |    AS total_content_chars
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val df = PromptedGenerator("text", "output", mock, "ASSIST")(t(s, dir, D))
+      val conv = ConversationBuilder("text", "output")(df)
+      ConversationStatsEvaluator()(conv)
+        .select("doc_id", "n_turns", "n_user_turns", "total_content_chars")
+    },
+    "gen_funccall_chain" -> oracled(
+      s"""SELECT doc_id, 'echo[SCENARIO]:' || text AS scenario,
+         |  'echo[ATOM]:echo[SCENARIO]:' || text AS atom_task,
+         |  'echo[FUNC]:echo[ATOM]:echo[SCENARIO]:' || text AS function
+         |FROM $D""".stripMargin) { (s, dir) =>
+      FuncCallChainGenerator("text", mock)(t(s, dir, D))
+        .select("doc_id", "scenario", "atom_task", "function")
+    },
+    "jdbc_payload_merge" -> oracled(
+      s"""SELECT doc_id, to_json(struct_pack(lang := lang, source := source,
+         |  n_chars := n_chars)) AS data FROM $D""".stripMargin) { (s, dir) =>
+      SystemColumnMerger(Seq("doc_id"), "data")(
+        t(s, dir, D).select("doc_id", "lang", "source", "n_chars"))
+    })
 
   // ---- corpus-level evaluators, nested aggs, windows, chunk explode -------
   private def corpus: Map[String, Q] = Map(

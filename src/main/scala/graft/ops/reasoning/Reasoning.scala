@@ -1,0 +1,121 @@
+package graft.ops.reasoning
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.{EvalOp, FilterOp, Op}
+import graft.functions.text._
+import graft.serving.{LLMMap, ServingClient}
+
+/** Reasoning / math-QA operators — SURVEY §2.2 (reasoning filters) and
+  * §2.8 (reasoning generators).
+  */
+
+/** Answer-format check: a `\boxed{...}` or "answer: ..." marker exists
+  * (`reasoning/filter/reasoning_answer_format_filter.py`). */
+final case class AnswerFormatFilter(inputKey: String = "answer") extends FilterOp {
+  val name = "answer_format_filter"
+  val inputKeys = Seq(inputKey)
+  def predicate: Column =
+    col(inputKey).rlike("\\\\boxed\\{[^}]*\\}") ||
+      lower(col(inputKey)).rlike("answer\\s*(is|:)")
+}
+
+/** Extract the final answer: last `\boxed{...}` payload, else the last
+  * number in the text, else empty — the deterministic core of
+  * `reasoning_answer_extraction_qwenmatheval_generator.py:15-59`
+  * (`utils/reasoning/AnswerExtraction.py`). */
+object AnswerExtraction {
+  def finalAnswer(c: Column): Column = {
+    val boxed = regexp_extract_all(c, lit("\\\\boxed\\{([^}]*)\\}"), lit(1))
+    val numbers = regexp_extract_all(c, lit("-?[0-9]+(\\.[0-9]+)?"), lit(0))
+    when(size(boxed) > 0, element_at(boxed, -1))
+      .when(size(numbers) > 0, element_at(numbers, -1))
+      .otherwise(lit(""))
+  }
+}
+
+/** Extracted answer matches the golden answer after normalization
+  * (`reasoning_answer_groundtruth_filter.py:11`; math_verify degraded to
+  * normalized string/numeric equality). */
+final case class AnswerGroundTruthFilter(answerKey: String = "answer",
+    goldenKey: String = "golden_answer") extends FilterOp {
+  val name = "answer_groundtruth_filter"
+  val inputKeys = Seq(answerKey, goldenKey)
+  private def norm(c: Column): Column = trim(lower(regexp_replace(c, "[ $,]", "")))
+  def predicate: Column = {
+    val a = norm(AnswerExtraction.finalAnswer(col(answerKey)))
+    val g = norm(col(goldenKey))
+    // numeric equality when both parse, else exact string match
+    // (try_cast: ANSI mode would throw on non-numeric strings)
+    val ad = a.try_cast("double"); val gd = g.try_cast("double")
+    when(ad.isNotNull && gd.isNotNull, ad === gd).otherwise(a === g)
+  }
+}
+
+/** Question↔answer n-gram overlap below threshold — leakage check
+  * (`reasoning_answer_ngram_filter.py:13`): Jaccard of word n-gram sets. */
+final case class AnswerNgramFilter(questionKey: String = "question",
+    answerKey: String = "answer", n: Int = 3, maxOverlap: Double = 0.5)
+    extends FilterOp {
+  val name = "answer_ngram_filter"
+  val inputKeys = Seq(questionKey, answerKey)
+  def predicate: Column = {
+    val qg = array_distinct(wordNgrams(col(questionKey), n))
+    val ag = array_distinct(wordNgrams(col(answerKey), n))
+    val inter = size(array_intersect(qg, ag))
+    val union = size(array_union(qg, ag))
+    when(union === 0, lit(true))
+      .otherwise(inter.cast("double") / union.cast("double") <= maxOverlap)
+  }
+}
+
+/** Answer token length within bound (`reasoning_answer_token_length_filter.py:11`). */
+final case class AnswerTokenLengthFilter(inputKey: String = "answer",
+    maxTokens: Int = 8192) extends FilterOp {
+  val name = "answer_token_length_filter"
+  val inputKeys = Seq(inputKey)
+  def predicate: Column = wordCount(col(inputKey)) <= maxTokens
+}
+
+/** Question → answer LLM generation (`reasoning_answer_generator.py:21`)
+  * + extraction column, the reasoning chain's generate step. */
+final case class ReasoningAnswerGenerator(questionKey: String,
+    serving: ServingClient) extends Op {
+  val name = "reasoning_answer_generator"
+  val inputKeys = Seq(questionKey)
+  val outputKeys = Seq("answer", "extracted_answer")
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val answered = LLMMap.generated(df, questionKey, "answer", serving, "ANSWER")
+    answered.withColumn("extracted_answer",
+      AnswerExtraction.finalAnswer(col("answer")))
+  }
+}
+
+/** Pseudo-answer by majority vote over k samples
+  * (`reasoning_pseudo_answer_generator.py:18`): reuse of the voting
+  * pattern — extract each sample's final answer, take the mode. */
+final case class PseudoAnswerGenerator(questionKey: String,
+    serving: ServingClient, samples: Int = 3) extends Op {
+  val name = "pseudo_answer_generator"
+  val inputKeys = Seq(questionKey)
+  val outputKeys = Seq("pseudo_answer")
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sampled = (0 until samples).foldLeft(df) { (d, i) =>
+      val p = d.withColumn("__p", concat(col(questionKey), lit("#"), lit(i % 2)))
+      val gen = LLMMap.generated(p, "__p", s"__raw$i", serving, "PSEUDO")
+      gen.withColumn(s"__a$i", AnswerExtraction.finalAnswer(col(s"__raw$i")))
+        .drop("__p", s"__raw$i")
+    }
+    val votes = array((0 until samples).map(i => col(s"__a$i")): _*)
+    val counted = transform(array_distinct(votes),
+      v => struct(size(filter(votes, x => x === v)).as("n"), v.as("v")))
+    val winner = aggregate(counted,
+      struct(lit(0).as("n"), lit("").as("v")),
+      (acc, s) => when(acc("n") === 0, s)
+        .when(s("n") > acc("n"), s)
+        .when(s("n") === acc("n") && s("v") < acc("v"), s)
+        .otherwise(acc))
+    (0 until samples).foldLeft(sampled.withColumn("pseudo_answer", winner("v")))(
+      (d, i) => d.drop(s"__a$i"))
+  }
+}
