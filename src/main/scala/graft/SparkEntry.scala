@@ -843,6 +843,51 @@ object SparkEntry {
       FuncCallChainGenerator("text", mock)(t(s, dir, D))
         .select("doc_id", "scenario", "atom_task", "function")
     },
+    "gen_sql" -> oracled(
+      s"""SELECT doc_id, trim('echo[SQLGEN]:CREATE TABLE t_' || lang || '(x INT)') AS sql
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val withSchema = t(s, dir, D).withColumn("schema_ddl",
+        concat(lit("CREATE TABLE t_"), col("lang"), lit("(x INT)")))
+      SQLGenerator("schema_ddl", "sql", mock)(withSchema).select("doc_id", "sql")
+    },
+    "gen_consistent_chat" -> oracled(
+      """SELECT t.i AS topic_id, s.j AS intent_id,
+        |  'echo[CHAT]:topic-' || t.i || ':intent-' || s.j AS dialog
+        |FROM range(5) t(i), range(4) s(j)""".stripMargin) { (s, _) =>
+      // topic × intent grid → one LLM synthesis per cell
+      // (`consistent_chat_generator.py:18-58`'s seed grid)
+      val topics = s.range(5).withColumnRenamed("id", "topic_id")
+      val intents = s.range(4).withColumnRenamed("id", "intent_id")
+      val grid = topics.crossJoin(intents).withColumn("__prompt",
+        concat(lit("topic-"), col("topic_id"), lit(":intent-"), col("intent_id")))
+      graft.serving.LLMMap.generated(grid, "__prompt", "dialog", mock, "CHAT")
+        .drop("__prompt")
+    },
+    "gen_sft_parse" -> oracled(
+      s"""WITH j AS (SELECT doc_id, to_json(struct_pack(instruction := text,
+         |  output := 'echo[SFT]:' || text)) AS raw FROM $D)
+         |SELECT doc_id, json_extract_string(raw, '$$.instruction') AS instruction,
+         |  json_extract_string(raw, '$$.output') AS output FROM j""".stripMargin) {
+      (s, dir) =>
+        // SFT-from-seed shape (`sft_generator_from_seed.py:32-71`): LLM
+        // emits JSON; parse it back into typed columns with from_json
+        val raw = t(s, dir, D).withColumn("raw",
+          to_json(struct(col("text").as("instruction"),
+            concat(lit("echo[SFT]:"), col("text")).as("output"))))
+        raw.select(col("doc_id"),
+          from_json(col("raw"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("instruction",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("output",
+              org.apache.spark.sql.types.StringType)))).as("__p"))
+          .select(col("doc_id"), col("__p.instruction").as("instruction"),
+            col("__p.output").as("output"))
+    },
+    "agg_vendi" -> rowsOnly { (s, dir) =>
+      val v = graft.ops.eval.Vendi.score(t(s, dir, "embeddings"), "embedding")
+      s.createDataFrame(Seq(Tuple1(BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))))
+        .toDF("vendi")
+    },
     "jdbc_payload_merge" -> oracled(
       s"""SELECT doc_id, to_json(struct_pack(lang := lang, source := source,
          |  n_chars := n_chars)) AS data FROM $D""".stripMargin) { (s, dir) =>

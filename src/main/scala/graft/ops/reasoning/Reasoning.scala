@@ -60,12 +60,28 @@ final case class AnswerNgramFilter(questionKey: String = "question",
   val name = "answer_ngram_filter"
   val inputKeys = Seq(questionKey, answerKey)
   def predicate: Column = {
-    val qg = array_distinct(wordNgrams(col(questionKey), n))
-    val ag = array_distinct(wordNgrams(col(answerKey), n))
-    val inter = size(array_intersect(qg, ag))
-    val union = size(array_union(qg, ag))
-    when(union === 0, lit(true))
-      .otherwise(inter.cast("double") / union.cast("double") <= maxOverlap)
+    val nn = n; val mx = maxOverlap
+    // imperative Jaccard over n-gram sets (set ops on ints → the UDF is
+    // still exactly SQL-oracle-reproducible, ~20× the expression tree)
+    val f = udf { (q: Seq[String], a: Seq[String]) =>
+      def grams(ws: Seq[String]): java.util.HashSet[String] = {
+        val s = new java.util.HashSet[String]()
+        if (ws != null && ws.length >= nn) {
+          var i = 0
+          while (i <= ws.length - nn) { s.add(ws.slice(i, i + nn).mkString(" ")); i += 1 }
+        }
+        s
+      }
+      val qg = grams(q); val ag = grams(a)
+      val union = new java.util.HashSet[String](qg)
+      union.addAll(ag)
+      if (union.isEmpty) true
+      else {
+        qg.retainAll(ag) // qg becomes the intersection
+        qg.size.toDouble / union.size.toDouble <= mx
+      }
+    }
+    f(words(col(questionKey)), words(col(answerKey)))
   }
 }
 

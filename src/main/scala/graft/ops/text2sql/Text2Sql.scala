@@ -122,7 +122,8 @@ final case class SQLExecutionFilter(sqlKey: String, timeoutSec: Int = 5)
       .collect().map(_.getString(0)).toSeq
     // spark.sql is thread-safe: fan the distinct statements over a driver
     // pool (the reference uses 20 workers, database_manager.py:110-113)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(16, Runtime.getRuntime.availableProcessors()))
     val verdicts = try {
       import scala.jdk.CollectionConverters._
       val tasks = distinctSql.map { q =>

@@ -104,6 +104,28 @@ class TiersSpec extends AnyFunSuite {
     assert(out.count() == docs.count())
   }
 
+  test("typed aggregators: accuracy and moments match direct computation") {
+    import spark.implicits._
+    val data = Seq((true, true), (false, true), (true, false), (true, true))
+    val acc = data.toDS().select(
+      new graft.ops.eval.Aggregators.AccuracyAggregator().toColumn).head()
+    assert(acc == 0.5) // 2 matched-and-valid of 4
+    val xs = Seq(1.0, 2.0, 3.0, 4.0)
+    val (mean, variance) = xs.toDS().select(
+      new graft.ops.eval.Aggregators.MomentsAggregator().toColumn).head()
+    assert(math.abs(mean - 2.5) < 1e-12)
+    assert(math.abs(variance - 5.0 / 3.0) < 1e-12)
+  }
+
+  test("vendi score of identical vectors is ~1, of orthogonal vectors is ~n") {
+    import spark.implicits._
+    val same = Seq.fill(8)(Seq(1.0, 0.0, 0.0)).toDF("embedding")
+    assert(math.abs(graft.ops.eval.Vendi.score(same, "embedding") - 1.0) < 1e-6)
+    val ortho = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+      .toDF("embedding")
+    assert(math.abs(graft.ops.eval.Vendi.score(ortho, "embedding") - 3.0) < 1e-6)
+  }
+
   test("multimodal decode stub yields bounded dims") {
     import spark.implicits._
     val docs = Storage.table(spark, sf, "documents")
