@@ -883,6 +883,50 @@ object SparkEntry {
           .select(col("doc_id"), col("__p.instruction").as("instruction"),
             col("__p.output").as("output"))
     },
+    "pipeline_bench_eval" -> oracled(
+      // full bench-eval pipeline: generate → extract → match vs golden →
+      // accuracy stats, the BenchDatasetEvaluator end-to-end shape
+      s"""SELECT COUNT(*) AS total, COUNT(*) AS valid,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+         |  round(CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |        CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+         |FROM $D""".stripMargin) { (s, dir) =>
+      // golden = doc_id for even rows, unanswerable otherwise; the mock
+      // answers echo the question (which carries the id digits)
+      val qa = withReasoningCols(t(s, dir, D)).drop("answer")
+        .withColumn("golden_answer",
+          when(col("doc_id") % 2 === 0, col("doc_id").cast("string"))
+            .otherwise(lit("impossible")))
+      val answered = ReasoningAnswerGenerator("question", mock)(qa)
+      val matched = col("extracted_answer") === col("golden_answer")
+      DatasetEvaluators.benchAccuracy(answered, matched, lit(true))
+    },
+    "kbc_clean_chunks" -> oracled(
+      // KBC chunk-clean chain (`kbc_text_cleaner`): chunk → LLM-clean
+      // each chunk → reassemble in order
+      s"""SELECT doc_id, array_to_string(list_transform(
+         |  list_transform(range(0, greatest(CAST(ceil(CAST(${sqlWordCount("text")} AS DOUBLE) / 30.0) AS BIGINT), 1)),
+         |    i -> array_to_string(list_slice(${sqlWords("text")}, i*30 + 1, i*30 + 30), ' ')),
+         |  c -> 'echo[CLEAN]:' || c), ' | ') AS cleaned
+         |FROM $D""".stripMargin) { (s, dir) =>
+      ChunkedPromptedGenerator("text", "doc_id", "cleaned", mock,
+        chunkWords = 30, systemPrompt = "CLEAN")(t(s, dir, D))
+        .select("doc_id", "cleaned")
+    },
+    "agentic_rag_chain" -> oracled(
+      // AgenticRAG atomic→depth→width task synthesis
+      // (`agenticrag_atomic_task_generator.py:36` et seq.)
+      s"""SELECT doc_id, 'echo[ATOMIC]:' || text AS atomic_task,
+         |  'echo[DEPTH]:echo[ATOMIC]:' || text AS depth_qa,
+         |  'echo[WIDTH]:echo[DEPTH]:echo[ATOMIC]:' || text AS width_qa
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val s1 = graft.serving.LLMMap.generated(t(s, dir, D), "text",
+        "atomic_task", mock, "ATOMIC")
+      val s2 = graft.serving.LLMMap.generated(s1, "atomic_task",
+        "depth_qa", mock, "DEPTH")
+      graft.serving.LLMMap.generated(s2, "depth_qa", "width_qa", mock, "WIDTH")
+        .select("doc_id", "atomic_task", "depth_qa", "width_qa")
+    },
     "agg_vendi" -> rowsOnly { (s, dir) =>
       val v = graft.ops.eval.Vendi.score(t(s, dir, "embeddings"), "embedding")
       s.createDataFrame(Seq(Tuple1(BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))))

@@ -126,6 +126,35 @@ class TiersSpec extends AnyFunSuite {
     assert(math.abs(graft.ops.eval.Vendi.score(ortho, "embedding") - 3.0) < 1e-6)
   }
 
+  test("checkpointed pipeline run + resume from step") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val docs = Storage.table(spark, sf, "documents")
+    val pipeline = Pipeline.of(
+      graft.ops.refine.LowercaseRefiner("text"),
+      graft.ops.filter.WordNumberFilter("text", 5, 100000),
+      graft.ops.dedup.HashDeduplicateFilter(Seq("text"), "doc_id"))
+    val full = pipeline.runCheckpointed(docs, tmp)
+    val n = full.count()
+    assert(n > 0)
+    // resume after step 0 must reproduce the same result
+    val resumed = pipeline.resume(spark, tmp, 0)
+    assert(resumed.count() == n)
+    // all three step checkpoints exist
+    assert(new java.io.File(tmp).listFiles().count(_.getName.startsWith("step")) == 3)
+  }
+
+  test("cosine_sim is callable from SQL via GraftExtensions") {
+    // injectFunction path (new session sharing the same context)
+    // getOrCreate reuses the suite session, so extensions can't be added
+    // at build time here; register the same builder into a child session
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction("cosine_sim",
+      exprs => graft.functions.CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    val got = s2.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
   test("multimodal decode stub yields bounded dims") {
     import spark.implicits._
     val docs = Storage.table(spark, sf, "documents")
