@@ -155,6 +155,45 @@ class TiersSpec extends AnyFunSuite {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("salted aggregation matches plain aggregation") {
+    val li = Storage.table(spark, sf, "lineitem")
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(20,2)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getDecimal(1))).toMap
+    val salted = graft.core.Partitioning.saltedAgg(li, "l_returnflag", 8,
+      Seq(sum(col("l_quantity").cast("decimal(20,2)")).as("ps")),
+      Seq(sum(col("ps")).as("s")))
+      .collect().map(r => (r.getString(0), r.getDecimal(1))).toMap
+    assert(plain.keySet == salted.keySet)
+    plain.foreach { case (k, v) => assert(salted(k).compareTo(v) == 0) }
+  }
+
+  test("salted broadcast join matches plain join") {
+    val li = Storage.table(spark, sf, "lineitem")
+    val sup = Storage.table(spark, sf, "supplier")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    val plain = li.join(sup, Seq("l_suppkey")).count()
+    val salted = graft.core.Partitioning.saltedBroadcastJoin(li, sup, "l_suppkey", 4).count()
+    assert(plain == salted)
+  }
+
+  test("streaming dedup drops cross-chunk duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sd")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val events = Storage.table(spark, sf, "events")
+    val stream = spark.readStream.schema(events.schema).parquet(dir.toString)
+    val deduped = Streaming.streamingDedup(stream, col("user_id"), "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").count()
+      val want = events.select("user_id").distinct().count()
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("multimodal decode stub yields bounded dims") {
     import spark.implicits._
     val docs = Storage.table(spark, sf, "documents")
