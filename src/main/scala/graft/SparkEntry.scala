@@ -52,7 +52,7 @@ object SparkEntry {
 
   private lazy val registry: Map[String, Q] = relational ++ filters ++ dedups ++
     refiners ++ evals ++ aggs ++ filters2 ++ refiners2 ++ misc ++ serving ++
-    text2sql ++ advanced ++ corpus ++ domain
+    text2sql ++ advanced ++ corpus ++ domain ++ codeq
 
   // ---- relational / TPC-H-ish bench surface -------------------------------
   private def relational: Map[String, Q] = Map(
@@ -1024,6 +1024,74 @@ object SparkEntry {
         "embedding", col("label") < 5)
       s.createDataFrame(Seq(Tuple1(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))))
         .toDF("mmd")
+    })
+
+  // ---- code-data ops (§2.2/§2.5 code families) over synthesized code ------
+  // synthesized "code": comment header for id%3=0, injected base64 blob
+  // for id%3=1, auto-gen marker for id%5=0
+  private def withCodeCol(df: DataFrame): DataFrame = df.withColumn("code",
+    when(col("doc_id") % 5 === 0, concat(lit("# generated by tool, do not edit\n"), col("text")))
+      .when(col("doc_id") % 3 === 0, concat(lit("# header comment\n"), col("text")))
+      .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" "), repeat(lit("QWER"), 20)))
+      .otherwise(col("text")))
+  private val sqlCodeCol =
+    """CASE WHEN doc_id % 5 = 0 THEN '# generated by tool, do not edit' || chr(10) || text
+      |     WHEN doc_id % 3 = 0 THEN '# header comment' || chr(10) || text
+      |     WHEN doc_id % 3 = 1 THEN text || ' ' || repeat('QWER', 20)
+      |     ELSE text END""".stripMargin
+
+  private def codeq: Map[String, Q] = Map(
+    "filter_code_length" -> oracled(
+      s"""WITH c AS (SELECT doc_id, n_chars, $sqlCodeCol AS code FROM $D)
+         |SELECT doc_id, n_chars FROM c
+         |WHERE len(split(code, chr(10))) <= 10
+         |  AND list_max(list_transform(split(code, chr(10)), l -> length(l))) <= 400""".stripMargin) {
+      (s, dir) =>
+        graft.ops.code.CodeLengthFilter("code", 10, 400)(
+          withCodeCol(t(s, dir, D))).select("doc_id", "n_chars")
+    },
+    "eval_code_comment_ratio" -> oracled(
+      s"""WITH c AS (SELECT doc_id, $sqlCodeCol AS code FROM $D)
+         |SELECT doc_id, round(
+         |  CAST(len(list_filter(split(code, chr(10)),
+         |    l -> starts_with(ltrim(l), '#') OR starts_with(ltrim(l), '//'))) AS DOUBLE) /
+         |  CAST(len(split(code, chr(10))) AS DOUBLE), 6) AS comment_ratio
+         |FROM c""".stripMargin) { (s, dir) =>
+      graft.ops.code.CodeCommentRatioEvaluator("code")(
+        withCodeCol(t(s, dir, D))).select("doc_id", "comment_ratio")
+    },
+    "filter_code_encoded" -> oracled(
+      s"""WITH c AS (SELECT doc_id, n_chars, $sqlCodeCol AS code FROM $D)
+         |SELECT doc_id, n_chars FROM c
+         |WHERE NOT regexp_matches(code, '[A-Za-z0-9+/=]{65,}')
+         |  AND NOT regexp_matches(code, '(0x)?[0-9a-fA-F]{128,}')""".stripMargin) {
+      (s, dir) =>
+        graft.ops.code.CodeEncodedDataFilter("code", 64)(
+          withCodeCol(t(s, dir, D))).select("doc_id", "n_chars")
+    },
+    "filter_code_composition" -> oracled(
+      s"""SELECT doc_id, n_chars FROM $D
+         |WHERE CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) /
+         |      CAST(length(text) AS DOUBLE) >= 0.83""".stripMargin) { (s, dir) =>
+      graft.ops.code.CodeTextCompositionFilter("text", 0.83)(t(s, dir, D))
+        .select("doc_id", "n_chars")
+    },
+    "filter_code_autogen" -> oracled(
+      s"""WITH c AS (SELECT doc_id, n_chars, $sqlCodeCol AS code FROM $D)
+         |SELECT doc_id, n_chars FROM c
+         |WHERE NOT regexp_matches(lower(code),
+         |  '(auto-generated|autogenerated|do not edit|generated by)')""".stripMargin) {
+      (s, dir) =>
+        graft.ops.code.CodeAutoGeneratedFilter("code")(
+          withCodeCol(t(s, dir, D))).select("doc_id", "n_chars")
+    },
+    "text_smiles_extract" -> oracled(
+      s"""SELECT doc_id,
+         |  regexp_extract_all(text, '[A-Za-z0-9@+\\-\\[\\]\\(\\)=#$$%/\\\\]{6,}')
+         |    AS smiles_candidates
+         |FROM $D""".stripMargin) { (s, dir) =>
+      t(s, dir, D).select(col("doc_id"),
+        graft.ops.code.SmilesExtract.candidates(col("text")).as("smiles_candidates"))
     })
 
   /** DuckDB QA-F1 token normalization (matches QAF1SampleEvaluator.norm). */

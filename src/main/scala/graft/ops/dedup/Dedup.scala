@@ -140,14 +140,21 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
 
   def apply(df: DataFrame): DataFrame = {
     val shingles = array_distinct(wordNgrams(col(inputKey), ngram))
-    val withSh = df.withColumn("__sh", shingles)
-      .withColumn("__band", explode(bandKeys(col("__sh"))))
-    val l = withSh.select(col(orderKey).as("i"), col("__sh").as("sh_i"), col("__band"))
-    val r = withSh.select(col(orderKey).as("j"), col("__sh").as("sh_j"), col("__band"))
-    // candidate pairs sharing a band bucket; i < j; verified exactly
+    val withSh = df.select(col(orderKey), shingles.as("__sh"))
+    val banded = withSh.withColumn("__band", explode(bandKeys(col("__sh"))))
+      .select(col(orderKey), col("__band"))
+    // candidate pairs sharing ANY band — distinct BEFORE the exact
+    // verify, so near-identical docs (sharing all bands) are checked
+    // once, not once per band
+    val cand = banded.toDF("i", "__band")
+      .join(banded.toDF("j", "__band"), Seq("__band"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
     val jac = size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
       size(array_union(col("sh_i"), col("sh_j"))).cast("double")
-    val dups = l.join(r, Seq("__band")).where(col("i") < col("j"))
+    val dups = cand
+      .join(withSh.select(col(orderKey).as("i"), col("__sh").as("sh_i")), Seq("i"))
+      .join(withSh.select(col(orderKey).as("j"), col("__sh").as("sh_j")), Seq("j"))
       .where(jac >= threshold)
       .select(col("j").as(orderKey)).distinct()
     df.join(dups, Seq(orderKey), "left_anti")
