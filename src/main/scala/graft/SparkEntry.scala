@@ -656,9 +656,12 @@ object SparkEntry {
     },
     "t2s_execution" -> oracled(
       s"SELECT doc_id, n_chars FROM $D WHERE doc_id % 2 = 0") { (s, dir) =>
+      // distinct-statement count bounded by the mod (the reference caps
+      // synthesis via generate_num the same way) — exec cost stays flat
+      // as the corpus scales
       val withSql = t(s, dir, D).withColumn("sql",
         when(col("doc_id") % 2 === 0,
-          concat(lit("SELECT "), col("doc_id"), lit(" AS x")))
+          concat(lit("SELECT "), col("doc_id") % 1000, lit(" AS x")))
           .otherwise(lit("SELECT * FROM missing_table_xyz")))
       SQLExecutionFilter("sql", timeoutSec = 5)(withSql).select("doc_id", "n_chars")
     })
@@ -842,6 +845,49 @@ object SparkEntry {
          |FROM $D""".stripMargin) { (s, dir) =>
       FuncCallChainGenerator("text", mock)(t(s, dir, D))
         .select("doc_id", "scenario", "atom_task", "function")
+    },
+    "pipeline_text_chain" -> oracled(
+      // the SURVEY §7.3 minimum slice as one lazy plan: refine →
+      // word-filter → order-sensitive dedup (also the representative
+      // rows/sec chain recorded per BASELINE.md)
+      s"""WITH r AS (SELECT doc_id, n_chars,
+         |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text FROM $D),
+         |f AS (SELECT * FROM r WHERE ${sqlWordCount("text")} >= 10),
+         |d AS (SELECT doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+         |SELECT doc_id, n_chars FROM d WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val p = graft.core.Pipeline.of(
+        LowercaseRefiner("text"),
+        RemoveExtraSpacesRefiner("text"),
+        WordNumberFilter("text", 10, Int.MaxValue),
+        HashDeduplicateFilter(Seq("text"), "doc_id"))
+      p(t(s, dir, D)).select("doc_id", "n_chars")
+    },
+    "pretrain_format_convert" -> oracled(
+      // SFT → pretrain-format conversion (`reasoning/generate/
+      // reasoning_pretrain_format_convert_generator.py`)
+      s"""SELECT doc_id, 'Question: ' || text || chr(10) || 'Answer: ' ||
+         |  'echo[ANSWER]:' || text AS pretrain_text FROM $D""".stripMargin) {
+      (s, dir) =>
+        val answered = PromptedGenerator("text", "ans", mock, "ANSWER")(t(s, dir, D))
+        answered.select(col("doc_id"),
+          concat(lit("Question: "), col("text"), lit("\nAnswer: "), col("ans"))
+            .as("pretrain_text"))
+    },
+    "gen_multihop_qa" -> oracled(
+      // multi-hop QA from chunk pairs (`text2multihopqa_generator.py:23`):
+      // adjacent-chunk pairing → joint prompt → LLM
+      s"""WITH p AS (SELECT a.doc_id, a.text AS t1, b.text AS t2
+         |  FROM $D a JOIN $D b ON b.doc_id = a.doc_id + 1)
+         |SELECT doc_id, 'echo[MULTIHOP]:' || t1 || ' <HOP> ' || t2 AS qa FROM p""".stripMargin) {
+      (s, dir) =>
+        val d = t(s, dir, D)
+        val pairs = d.select(col("doc_id"), col("text").as("t1"))
+          .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("t2")),
+            Seq("doc_id"))
+          .withColumn("__prompt", concat(col("t1"), lit(" <HOP> "), col("t2")))
+        graft.serving.LLMMap.generated(pairs, "__prompt", "qa", mock, "MULTIHOP")
+          .select("doc_id", "qa")
     },
     "gen_sql" -> oracled(
       s"""SELECT doc_id, trim('echo[SQLGEN]:CREATE TABLE t_' || lang || '(x INT)') AS sql

@@ -101,23 +101,42 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
   private val bs: Array[Long] =
     Array.tabulate(numPerm)(i => (i * 2654435761L + 12345) % P)
 
-  /** Band bucket keys from the shingle set, as a signature UDF
-    * (imperative inner loop; partition-parallel, no shuffle). Shingles
-    * stay as strings end-to-end — the exact-Jaccard verification below is
-    * then collision-free and bit-reproducible against a SQL oracle; the
-    * 64-bit hash here only drives LSH pruning. */
+  /** Sorted distinct 64-bit shingle hashes per doc — hashed ONCE per
+    * document, so the pair-verify below is a cheap merge-walk instead of
+    * per-pair string hashing. 64-bit: the chance any pair's Jaccard is
+    * perturbed by a collision is ~|shingles|²/2⁶⁴ ≈ 1e-13 — the
+    * exact-string SQL oracle still reproduces decisions. */
+  private val shingleHashes = {
+    val nn = ngram
+    udf { ws: Seq[String] =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      if (ws != null && ws.length >= nn) {
+        var i = 0
+        while (i <= ws.length - nn) {
+          val g = ws.slice(i, i + nn).mkString(" ")
+          val h = scala.util.hashing.MurmurHash3.stringHash(g).toLong << 32 |
+            (scala.util.hashing.MurmurHash3.stringHash(g.reverse).toLong & 0xffffffffL)
+          set.add(h); i += 1
+        }
+      }
+      val out = new Array[Long](set.size)
+      var i = 0
+      val it = set.iterator()
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+  }
+
+  /** Band bucket keys from the hashed shingle set (LSH pruning only). */
   private val bandKeys = {
     val (a, b, p, np, rb, nb) = (as, bs, P, numPerm, rowsPerBand, bands)
-    udf { shingles: Seq[String] =>
-      if (shingles == null || shingles.isEmpty) Array.empty[String]
+    udf { hs: Seq[Long] =>
+      if (hs == null || hs.isEmpty) Array.empty[String]
       else {
-        val m = shingles.length
-        val hs = new Array[Long](m)
+        val m = hs.length
+        val arr = new Array[Long](m)
         var j = 0
-        shingles.foreach { s =>
-          hs(j) = scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL
-          j += 1
-        }
+        hs.foreach { h => arr(j) = h & 0xffffffffL; j += 1 }
         val sig = new Array[Long](np)
         var i = 0
         while (i < np) {
@@ -125,7 +144,7 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
           var mn = Long.MaxValue
           var k = 0
           while (k < m) {
-            val h = (ai * hs(k) + bi) % p
+            val h = (ai * arr(k) + bi) % p
             if (h < mn) mn = h
             k += 1
           }
@@ -138,9 +157,23 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     }
   }
 
+  /** Exact Jaccard over two SORTED long arrays — single merge walk. */
+  private val jaccard = udf { (x: Seq[Long], y: Seq[Long]) =>
+    var i = 0; var j = 0; var inter = 0
+    val n = x.length; val m = y.length
+    while (i < n && j < m) {
+      val a = x(i); val b = y(j)
+      if (a == b) { inter += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
   def apply(df: DataFrame): DataFrame = {
-    val shingles = array_distinct(wordNgrams(col(inputKey), ngram))
-    val withSh = df.select(col(orderKey), shingles.as("__sh"))
+    val withSh = df.select(col(orderKey),
+      shingleHashes(words(col(inputKey))).as("__sh"))
     val banded = withSh.withColumn("__band", explode(bandKeys(col("__sh"))))
       .select(col(orderKey), col("__band"))
     // candidate pairs sharing ANY band — distinct BEFORE the exact
@@ -150,12 +183,10 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       .join(banded.toDF("j", "__band"), Seq("__band"))
       .where(col("i") < col("j"))
       .select("i", "j").distinct()
-    val jac = size(array_intersect(col("sh_i"), col("sh_j"))).cast("double") /
-      size(array_union(col("sh_i"), col("sh_j"))).cast("double")
     val dups = cand
       .join(withSh.select(col(orderKey).as("i"), col("__sh").as("sh_i")), Seq("i"))
       .join(withSh.select(col(orderKey).as("j"), col("__sh").as("sh_j")), Seq("j"))
-      .where(jac >= threshold)
+      .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
       .select(col("j").as(orderKey)).distinct()
     df.join(dups, Seq(orderKey), "left_anti")
   }
@@ -176,15 +207,19 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
   private val segBits = BITS / SEGS
 
   /** 60-bit simhash: per-word 60-bit hash (md5 prefix), ±1 bit votes,
-    * sign → fingerprint. Imperative kernel (one md5 + one counter pass
-    * per word beats a 60-aggregate expression tree ~30×). */
+    * sign → fingerprint. Imperative kernel with a reused digest instance
+    * and direct byte→long assembly (no hex round-trip) — the per-word
+    * hash value equals the first 15 hex chars of the md5, unchanged. */
   private val simhashUdf = udf { ws: Seq[String] =>
+    val md = Dedup.md5Local.get()
     val votes = new Array[Int](60)
     if (ws != null) ws.foreach { w =>
-      val h = java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(w.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-          .substring(0, 15), 16)
+      md.reset()
+      val d = md.digest(w.getBytes("UTF-8"))
+      var h = 0L
+      var bi = 0
+      while (bi < 8) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
+      h = h >>> 4 // first 60 bits = first 15 hex chars
       var k = 0
       while (k < 60) {
         if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
@@ -278,6 +313,10 @@ final case class KCenterGreedyFilter(embKey: String = "embedding",
 }
 
 object Dedup {
+  private[dedup] val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** Keep the row with the smallest orderKey per group — ONE shuffle
     * (hash partition by groupExpr), window row_number. */
   def keepFirst(df: DataFrame, groupExpr: Column, order: Column): DataFrame = {
