@@ -863,6 +863,18 @@ object SparkEntry {
         HashDeduplicateFilter(Seq("text"), "doc_id"))
       p(t(s, dir, D)).select("doc_id", "n_chars")
     },
+    "kbc_chunks_sentence" -> oracled(
+      // sentence-mode chunking (spaces → '.' first so sentences exist)
+      s"""WITH c AS (SELECT doc_id, translate(text, ' ', '.') AS t FROM $D)
+         |SELECT doc_id, unnest(list_transform(
+         |  list_filter(list_transform(regexp_split_to_array(t, '[.!?]+'), s -> trim(s)),
+         |    s -> s <> ''),
+         |  (x, i) -> struct_pack(pos := CAST(i - 1 AS INT), raw_chunk := x)),
+         |  recursive := true)
+         |FROM c""".stripMargin) { (s, dir) =>
+      ChunkSplitter("text", "doc_id", mode = "sentence")(
+        t(s, dir, D).withColumn("text", translate(col("text"), " ", ".")))
+    },
     "pretrain_format_convert" -> oracled(
       // SFT → pretrain-format conversion (`reasoning/generate/
       // reasoning_pretrain_format_convert_generator.py`)
@@ -974,7 +986,8 @@ object SparkEntry {
         .select("doc_id", "atomic_task", "depth_qa", "width_qa")
     },
     "agg_vendi" -> rowsOnly { (s, dir) =>
-      val v = graft.ops.eval.Vendi.score(t(s, dir, "embeddings"), "embedding")
+      val v = graft.ops.eval.Vendi.score(
+        t(s, dir, "embeddings").orderBy("vec_id"), "embedding")
       s.createDataFrame(Seq(Tuple1(BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))))
         .toDF("vendi")
     },
@@ -1066,7 +1079,8 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(20,2)")).over(w).as("run_qty"))
     },
     "agg_mmd" -> rowsOnly { (s, dir) =>
-      val v = CorpusEvaluators.mmdRbf(t(s, dir, "embeddings"),
+      // orderBy before the driver-side sample cap → deterministic metric
+      val v = CorpusEvaluators.mmdRbf(t(s, dir, "embeddings").orderBy("vec_id"),
         "embedding", col("label") < 5)
       s.createDataFrame(Seq(Tuple1(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))))
         .toDF("mmd")

@@ -30,4 +30,24 @@ object Storage {
   /** Load a driver testdata table: `{dir}/{name}.parquet`. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** JDBC source — the `MyScaleDBStorage` read mapping (SURVEY §2.1):
+    * partitioned parallel read replaces the reference's LIMIT/OFFSET
+    * paging (`utils/storage.py:833`). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    partitionColumn match {
+      case Some((colName, lower, upper, n)) =>
+        spark.read.jdbc(url, table, colName, lower, upper, n, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+
+  /** JDBC sink — the `MyScaleDBStorage` write mapping: non-system columns
+    * should be folded first via
+    * [[graft.ops.conversations.SystemColumnMerger]]. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Append,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
 }
