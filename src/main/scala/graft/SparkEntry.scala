@@ -165,6 +165,10 @@ object SparkEntry {
       HashDeduplicateFilter(Seq("text"), "doc_id")(t(s, dir, D))
         .select("doc_id", "n_chars")
     },
+    "dedup_sha256" -> oracled(dedupOracle("sha256(text)")) { (s, dir) =>
+      HashDeduplicateFilter(Seq("text"), "doc_id", algo = "sha256")(t(s, dir, D))
+        .select("doc_id", "n_chars")
+    },
     "dedup_ccnet" -> oracled(dedupOracle("substr(md5(text), 1, 16)")) { (s, dir) =>
       CCNetDeduplicateFilter("text", "doc_id")(t(s, dir, D))
         .select("doc_id", "n_chars")
@@ -462,11 +466,32 @@ object SparkEntry {
       QAF1SampleEvaluator("pred", "gold")(a.join(b, Seq("doc_id")))
         .select("doc_id", "f1")
     },
-    "eval_bleu" -> rowsOnly { (s, dir) =>
+    "eval_bleu" -> oracled {
+      // smoothed BLEU-4: per n, bag-intersection overlap with +1
+      // smoothing; geometric mean × brevity penalty
+      def grams(c: String, n: Int) = sqlWordNgrams(c, n)
+      def prec(n: Int) =
+        s"""(CAST(list_reduce(list_prepend(0, list_transform(
+           |  list_intersect(list_distinct(${grams("pred", n)}), list_distinct(${grams("gold", n)})),
+           |  tk -> least(len(list_filter(${grams("pred", n)}, x -> x = tk)),
+           |              len(list_filter(${grams("gold", n)}, y -> y = tk))))),
+           |  (a, b) -> a + b) + 1 AS DOUBLE) /
+           | CAST(len(${grams("pred", n)}) + 1 AS DOUBLE))""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT a.doc_id, a.text AS pred, b.text AS gold
+         |  FROM $D a JOIN $D b ON b.doc_id = a.doc_id + 1)
+         |SELECT doc_id, round(
+         |  CASE WHEN ${sqlWordCount("pred")} >= ${sqlWordCount("gold")} THEN 1.0
+         |       ELSE exp(1.0 - CAST(${sqlWordCount("gold")} AS DOUBLE) /
+         |                      CAST(${sqlWordCount("pred")} AS DOUBLE)) END
+         |  * exp((ln(${prec(1)}) + ln(${prec(2)}) + ln(${prec(3)}) + ln(${prec(4)})) / 4.0),
+         |  6) AS bleu
+         |FROM pairs""".stripMargin
+    } { (s, dir) =>
       val d = t(s, dir, D)
       val a = d.select(col("doc_id"), col("text").as("pred"))
-      val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("ref"))
-      BleuSampleEvaluator("pred", "ref")(a.join(b, Seq("doc_id")))
+      val b = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("gold"))
+      BleuSampleEvaluator("pred", "gold")(a.join(b, Seq("doc_id")))
         .select("doc_id", "bleu")
     },
     "eval_presidio" -> oracled(
