@@ -37,6 +37,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("exact dedup is a single shuffle") {
+    // other suites cache the same dedup result; a cache hit would splice
+    // an InMemoryRelation (with its own captured Exchange) into the plan
+    spark.sharedState.cacheManager.clearCache()
     val plan = physicalPlan("dedup_hash")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
