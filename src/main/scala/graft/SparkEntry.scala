@@ -767,6 +767,35 @@ object SparkEntry {
         t(s, dir, D).withColumn("frames", words(col("text"))))
         .select("doc_id", "sampled_frames")
     },
+    "mm_speech2text" -> oracled(
+      s"SELECT doc_id, 'echo[ASR]:' || base64(encode(text)) AS transcript FROM $D") {
+      (s, dir) =>
+        Speech2TextGenerator("payload", "transcript", mock)(
+          t(s, dir, D).withColumn("payload", col("text").cast("binary")))
+          .select("doc_id", "transcript")
+    },
+    "filter_presidio_pii" -> oracled(
+      // inject emails on id%4=0 rows; the filter must drop exactly those
+      s"SELECT doc_id, n_chars FROM $D WHERE doc_id % 4 <> 0") { (s, dir) =>
+      val withPii = t(s, dir, D).withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" contact bob@example.com")))
+          .otherwise(col("text")))
+      PresidioFilter("text", 0)(withPii).select("doc_id", "n_chars")
+    },
+    "filter_composition_task" -> oracled(
+      // sub-tasks = first 3 words; runnable set = the testdata vocab's
+      // frequent words → rows whose head words stray are dropped
+      s"""SELECT doc_id, n_chars FROM $D
+         |WHERE NOT EXISTS (SELECT 1 FROM unnest(list_slice(${sqlWords("text")}, 1, 3)) u(t)
+         |                  WHERE t NOT IN ('the','a','spark','join','filter','data','table','row'))""".stripMargin) {
+      (s, dir) =>
+        val withTasks = t(s, dir, D).withColumn("sub_tasks",
+          slice(words(col("text")), 1, 3))
+        CompositionTaskFilter("sub_tasks",
+          Seq("the", "a", "spark", "join", "filter", "data", "table", "row"))(withTasks)
+          .select("doc_id", "n_chars")
+    },
     "stream_window_agg" -> oracled(
       """SELECT CAST(epoch_ns(ts) // 300000000000 AS BIGINT) * 300 AS window_start,
         |  event_type, COUNT(*) AS n,

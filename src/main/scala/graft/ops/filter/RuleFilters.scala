@@ -265,6 +265,35 @@ final case class LexicalDiversityFilter(inputKey: String = "text",
   }
 }
 
+/** PII entity count below threshold — the PresidioFilter shape
+  * (`general_text/filter/presidio_filter.py:9`): score with the PII
+  * evaluator rules, threshold here. */
+final case class PresidioFilter(inputKey: String = "text",
+    maxEntities: Int = 0) extends FilterOp {
+  val name = "presidio_filter"
+  val inputKeys = Seq(inputKey)
+  def predicate: Column = {
+    val t = col(inputKey)
+    val n = regexCount(t, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") +
+      regexCount(t, "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}") +
+      regexCount(t, "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+    n <= maxEntities
+  }
+}
+
+/** Keep rows whose composed task's sub-tasks are all runnable
+  * (`conversations/filter/composition_task_filter.py:17-61`): every
+  * element of the sub-task array must be in the runnable set. */
+final case class CompositionTaskFilter(subTasksKey: String = "sub_tasks",
+    runnable: Seq[String]) extends FilterOp {
+  val name = "composition_task_filter"
+  val inputKeys = Seq(subTasksKey)
+  def predicate: Column = {
+    val allowed = array(runnable.map(lit): _*)
+    forall(col(subTasksKey), t => array_contains(allowed, t))
+  }
+}
+
 /** The reference's GeneralFilter takes user lambdas `df → bool`
   * (`core_text/filter/general_filter.py:8-76`); the Spark-native analogue
   * accepts arbitrary `Column` predicates directly. */

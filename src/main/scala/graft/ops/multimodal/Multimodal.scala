@@ -71,6 +71,26 @@ object ImageDecodeStub {
   }
 }
 
+/** Audio → transcript via a serving model
+  * (`core_speech/generate/speech2text_generator.py:16-59`): the binary
+  * payload rides to the ASR service base64-encoded through the same
+  * mapPartitions serving bridge as every model-backed op. */
+final case class Speech2TextGenerator(binKey: String = "payload",
+    outputKey: String = "transcript",
+    serving: graft.serving.ServingClient) extends Op {
+  val name = "speech2text_generator"
+  val inputKeys = Seq(binKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame = {
+    // Spark's base64 emits MIME 76-char line wrapping — strip it for a
+    // canonical single-line payload
+    val encoded = df.withColumn("__b64",
+      regexp_replace(base64(col(binKey)), "[\\r\\n]", ""))
+    graft.serving.LLMMap.generated(encoded, "__b64", outputKey, serving, "ASR")
+      .drop("__b64")
+  }
+}
+
 /** Resize/feature-extract stub over decoded dims: pure arithmetic on the
   * struct (a real impl transforms pixel buffers partition-wise). */
 final case class ImageResizeStub(decodedKey: String = "decoded",
