@@ -101,7 +101,18 @@ object Ops {
       "system_column_merger" -> (p => graft.ops.conversations.SystemColumnMerger(p.getOrElse("system_cols", "doc_id").split(',').toSeq)),
       "binary_metadata_evaluator" -> (p => graft.ops.multimodal.BinaryMetadataEvaluator(p.getOrElse("input_key", "payload"))),
       "image_decode_stub" -> (p => graft.ops.multimodal.ImageDecodeStub(p.getOrElse("input_key", "payload"))),
-      "frame_sampler" -> (p => graft.ops.multimodal.FrameSampler(p.getOrElse("input_key", "frames"), i(p, "every", 10))))
+      "frame_sampler" -> (p => graft.ops.multimodal.FrameSampler(p.getOrElse("input_key", "frames"), i(p, "every", 10))),
+      "image_resize_stub" -> (p => graft.ops.multimodal.ImageResizeStub(p.getOrElse("input_key", "decoded"), i(p, "max_side", 256))),
+      "speech2text_generator" -> (p => graft.ops.multimodal.Speech2TextGenerator(p.getOrElse("input_key", "payload"), p.getOrElse("output_key", "transcript"), MockServing())),
+      "presidio_filter" -> (p => PresidioFilter(key(p), i(p, "max_entities", 0))),
+      "composition_task_filter" -> (p => CompositionTaskFilter(p.getOrElse("input_key", "sub_tasks"), p.getOrElse("runnable", "").split(',').toSeq)),
+      "chunk_splitter" -> (p => graft.ops.gen.ChunkSplitter(key(p), p.getOrElse("id_key", "doc_id"), p.getOrElse("mode", "token"), i(p, "chunk_size", 512), i(p, "min_chunk_tokens", 0))),
+      "code_length_filter" -> (p => graft.ops.code.CodeLengthFilter(key(p), i(p, "max_lines", 100000), i(p, "max_line_length", 1000))),
+      "code_comment_ratio_evaluator" -> (p => graft.ops.code.CodeCommentRatioEvaluator(key(p))),
+      "code_encoded_data_filter" -> (p => graft.ops.code.CodeEncodedDataFilter(key(p), i(p, "max_blob", 64))),
+      "code_text_composition_filter" -> (p => graft.ops.code.CodeTextCompositionFilter(key(p), d(p, "min_alnum_ratio", 0.25))),
+      "code_auto_generated_filter" -> (p => graft.ops.code.CodeAutoGeneratedFilter(key(p))),
+      "minhash_lsh_mllib_deduplicate_filter" -> (p => MinHashLSHDeduplicateFilter(key(p), p.getOrElse("order_key", "doc_id"))))
     entries.foreach { case (n, f) => Registry.register(n)(f) }
   }
 }

@@ -201,6 +201,10 @@ object SparkEntry {
       SemDeduplicateFilter("embedding", "vec_id", eps = 0.05)(t(s, dir, "embeddings"))
         .select("vec_id", "label")
     },
+    "dedup_minhash_mllib" -> rowsOnly { (s, dir) =>
+      MinHashLSHDeduplicateFilter("text", "doc_id", ngram = 3, threshold = 0.9)(
+        t(s, dir, D)).select("doc_id", "n_chars")
+    },
     "dedup_simhash" -> rowsOnly { (s, dir) =>
       SimHashDeduplicateFilter("text", "doc_id", hammingK = 3)(t(s, dir, D))
         .select("doc_id", "n_chars")
