@@ -32,7 +32,11 @@ object SparkEntry {
     val pipeline = graft.core.Pipeline.of(
       RemoveExtraSpacesRefiner("text"),
       WordNumberFilter("text", 5, 100000),
-      HashDeduplicateFilter(Seq("text"), "doc_id"))
+      HashDeduplicateFilter(Seq("text"), "doc_id"),
+      MinHashDeduplicateFilter("text", "doc_id", threshold = 0.9),
+      QualityScoreEvaluator("text"),
+      LanguageIdEvaluator("text"),
+      TokenCountEvaluator("text"))
     pipeline(docs)
   }
 

@@ -20,20 +20,24 @@ object CorpusEvaluators {
   def ciderUnigram(pairs: DataFrame, predKey: String, refKey: String,
       idKey: String, outputKey: String = "cider"): DataFrame = {
     val n = pairs.count().toDouble
-    // document frequency over refs
-    val df = pairs
-      .select(col(idKey), explode(array_distinct(words(col(refKey)))).as("tok"))
+    // ONE tagged explode+aggregate yields both tf vectors per (id, tok) —
+    // replaces two separate exploded aggregates + a full-outer join
+    val tagged = pairs.select(col(idKey), lit("p").as("side"),
+      explode(words(col(predKey))).as("tok"))
+      .unionAll(pairs.select(col(idKey), lit("r").as("side"),
+        explode(words(col(refKey))).as("tok")))
+    val tf = tagged.groupBy(idKey, "tok").agg(
+      sum(when(col("side") === "p", 1).otherwise(0)).as("tf_p"),
+      sum(when(col("side") === "r", 1).otherwise(0)).as("tf_r"))
+    // document frequency over refs, derived from the same grouped pass
+    val df = tf.filter(col("tf_r") > 0)
       .groupBy("tok").agg(count(lit(1)).as("dfreq"))
       .withColumn("idf", log(lit(n) / col("dfreq")))
-    val predTok = pairs.select(col(idKey), explode(words(col(predKey))).as("tok"))
-      .groupBy(idKey, "tok").agg(count(lit(1)).as("tf_p"))
-    val refTok = pairs.select(col(idKey), explode(words(col(refKey))).as("tok"))
-      .groupBy(idKey, "tok").agg(count(lit(1)).as("tf_r"))
-    // idf-weighted vectors; join on (id, tok); cosine over the sparse dims
-    val joined = predTok.join(refTok, Seq(idKey, "tok"), "full")
+    // idf weights; cosine over the sparse dims
+    val joined = tf
       .join(broadcast(df), Seq("tok"), "left")
-      .withColumn("wp", coalesce(col("tf_p"), lit(0)) * coalesce(col("idf"), lit(0.0)))
-      .withColumn("wr", coalesce(col("tf_r"), lit(0)) * coalesce(col("idf"), lit(0.0)))
+      .withColumn("wp", col("tf_p") * coalesce(col("idf"), lit(0.0)))
+      .withColumn("wr", col("tf_r") * coalesce(col("idf"), lit(0.0)))
     val scored = joined.groupBy(idKey).agg(
       sum(col("wp") * col("wr")).as("dot"),
       sqrt(sum(col("wp") * col("wp"))).as("np"),
