@@ -60,52 +60,59 @@ object SparkEntry {
 
   // ---- relational / TPC-H-ish bench surface -------------------------------
   private def relational: Map[String, Q] = Map(
+    // DECIMAL sums are canonicalized to round(CAST(.. AS DOUBLE), 2) in the
+    // final projection on BOTH sides: Spark widens sum(decimal(20,2)) to
+    // decimal(30,2) while DuckDB widens to decimal(38,2), and the driver's
+    // value hash sees the differing physical type (r1 hash_match=false).
     "q1_pricing" -> oracled(
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS sum_base_price,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_base_price,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) {
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_quantity").cast("decimal(20,2)")).as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(20,2)")).as("sum_base_price"),
+            round(sum(col("l_quantity").cast("decimal(20,2)")).cast("double"), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice").cast("decimal(20,2)")).cast("double"), 2).as("sum_base_price"),
             count(lit(1)).as("count_order"))
     },
     "q3_revenue_by_customer" -> oracled(
       """SELECT c_custkey, c_name,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE), 4) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY c_custkey, c_name""".stripMargin) { (s, dir) =>
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
-      // customer is the small side at scale → broadcast; orders⋈lineitem
-      // co-shuffles on the orderkey.
+      // No forced broadcast: customer grows linearly with SF (TPC-H sf100 ≈
+      // 15M rows) — let AQE's size threshold pick broadcast vs shuffle join;
+      // orders⋈lineitem co-shuffles on the orderkey either way.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(20,4)")).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(20,4)")).cast("double"), 4).as("revenue"))
     },
     "q5_region_revenue" -> oracled(
       """SELECT r_name, n_name,
-        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue
+        |  round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE), 4) AS revenue
         |FROM region JOIN nation ON r_regionkey = n_regionkey
         |JOIN supplier ON s_nationkey = n_nationkey
         |JOIN lineitem ON l_suppkey = s_suppkey
         |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
       val r = t(s, dir, "region"); val n = t(s, dir, "nation")
       val sup = t(s, dir, "supplier"); val l = t(s, dir, "lineitem")
-      // dims are tiny → broadcast all; single shuffle for the final agg.
+      // region/nation/supplier are genuinely bounded dims (25 nations, 5
+      // regions; supplier = 0.01×customer) → broadcast all; single shuffle
+      // for the final agg.
       l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(20,4)")).as("revenue"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(20,4)")).cast("double"), 4).as("revenue"))
     })
 
   // ---- rule filters (§2.2) -----------------------------------------------
@@ -580,13 +587,16 @@ object SparkEntry {
       ChunkedPromptedGenerator("text", "doc_id", "gen", mock, chunkWords = 20)(
         t(s, dir, D)).select("doc_id", "gen")
     },
+    // emitted as integer thousandths (exact) rather than doubles — string
+    // canonicalization that is stable across engines' float formatting
     "gen_embedding" -> oracled(
-      s"""SELECT doc_id, list_transform(range(0, 16),
-         |  i -> CAST((('0x' || substr(md5(text), 1, 8))::BIGINT + 31*i) % 1000 AS DOUBLE) / 1000.0)
-         |  AS emb
+      s"""SELECT doc_id, array_to_string(list_transform(range(0, 16),
+         |  i -> (('0x' || substr(md5(text), 1, 8))::BIGINT + 31*i) % 1000), ',') AS emb
          |FROM $D""".stripMargin) { (s, dir) =>
       EmbeddingGenerator("text", "emb", mock)(t(s, dir, D))
-        .select("doc_id", "emb")
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("emb"),
+            x => round(x * 1000).cast("long"))).as("emb"))
     },
     "gen_rows" -> oracled(
       "SELECT range AS id, 'echo[GEN]:seed-' || range AS content FROM range(100)") {
@@ -769,11 +779,13 @@ object SparkEntry {
         .select(col("doc_id"), col("resized.width").as("rw"), col("resized.height").as("rh"))
     },
     "mm_frame_sample" -> oracled(
-      s"""SELECT doc_id, list_filter(${sqlWords("text")}, (x, i) -> (i - 1) % 10 = 0)
+      s"""SELECT doc_id, array_to_string(
+         |  list_filter(${sqlWords("text")}, (x, i) -> (i - 1) % 10 = 0), ' ')
          |  AS sampled_frames FROM $D""".stripMargin) { (s, dir) =>
       FrameSampler("frames", every = 10)(
         t(s, dir, D).withColumn("frames", words(col("text"))))
-        .select("doc_id", "sampled_frames")
+        .select(col("doc_id"),
+          concat_ws(" ", col("sampled_frames")).as("sampled_frames"))
     },
     "mm_speech2text" -> oracled(
       s"SELECT doc_id, 'echo[ASR]:' || base64(encode(text)) AS transcript FROM $D") {
@@ -807,7 +819,7 @@ object SparkEntry {
     "stream_window_agg" -> oracled(
       """SELECT CAST(epoch_ns(ts) // 300000000000 AS BIGINT) * 300 AS window_start,
         |  event_type, COUNT(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(20,2))) AS sum_value
+        |  round(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Streaming.windowedEventStats(t(s, dir, "events"), widthSec = 300)
     })
@@ -1103,11 +1115,13 @@ object SparkEntry {
     "filter_lexical_diversity" -> filterQ(LexicalDiversityFilter("text", 0.45, 1.0),
       s"CAST(len(list_distinct(${sqlWords("text")})) AS DOUBLE) / " +
         s"CAST(${sqlWordCount("text")} AS DOUBLE) BETWEEN 0.45 AND 1.0"),
+    // array outputs are emitted as canonical strings: the driver's oracle
+    // checker cannot sort/hash array-typed cells (r1 err rows)
     "agg_collect_docs" -> oracled(
-      s"SELECT lang, list(doc_id ORDER BY doc_id) AS doc_ids FROM $D GROUP BY lang") {
+      s"SELECT lang, array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids FROM $D GROUP BY lang") {
       (s, dir) =>
         t(s, dir, D).groupBy("lang")
-          .agg(array_sort(collect_list(col("doc_id"))).as("doc_ids"))
+          .agg(concat_ws(",", array_sort(collect_list(col("doc_id")))).as("doc_ids"))
     },
     "kbc_chunks" -> oracled(
       s"""SELECT doc_id, unnest(list_transform(
@@ -1126,7 +1140,7 @@ object SparkEntry {
     "window_running_sum" -> oracled(
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  row_number() OVER w AS rn,
-        |  SUM(CAST(l_quantity AS DECIMAL(20,2))) OVER w AS run_qty
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) OVER w AS DOUBLE), 2) AS run_qty
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) {
@@ -1138,7 +1152,7 @@ object SparkEntry {
         t(s, dir, "lineitem").select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           row_number().over(w).as("rn"),
-          sum(col("l_quantity").cast("decimal(20,2)")).over(w).as("run_qty"))
+          round(sum(col("l_quantity").cast("decimal(20,2)")).over(w).cast("double"), 2).as("run_qty"))
     },
     "agg_mmd" -> rowsOnly { (s, dir) =>
       // orderBy before the driver-side sample cap → deterministic metric
@@ -1209,11 +1223,12 @@ object SparkEntry {
     },
     "text_smiles_extract" -> oracled(
       s"""SELECT doc_id,
-         |  regexp_extract_all(text, '[A-Za-z0-9@+\\-\\[\\]\\(\\)=#$$%/\\\\]{6,}')
+         |  coalesce(array_to_string(regexp_extract_all(text, '[A-Za-z0-9@+\\-\\[\\]\\(\\)=#$$%/\\\\]{6,}'), ' '), '')
          |    AS smiles_candidates
          |FROM $D""".stripMargin) { (s, dir) =>
       t(s, dir, D).select(col("doc_id"),
-        graft.ops.code.SmilesExtract.candidates(col("text")).as("smiles_candidates"))
+        concat_ws(" ",
+          graft.ops.code.SmilesExtract.candidates(col("text"))).as("smiles_candidates"))
     })
 
   /** DuckDB QA-F1 token normalization (matches QAF1SampleEvaluator.norm). */

@@ -38,16 +38,19 @@ object Streaming {
 
   /** Event-time tumbling-window aggregation over the events table.
     * `ts` arrives as long nanos (TIMESTAMP(NANOS) parquet read with
-    * nanosAsLong); integer-divide into the window — exact, no double
-    * rounding at epoch-nano magnitudes. */
+    * nanosAsLong); `div` is true integer division — Column./ on longs is
+    * DOUBLE division, and epoch nanos (~1.7e18) exceed 2^53, so the double
+    * path can land boundary timestamps in the wrong window. sum_value is
+    * canonicalized to double (Spark widens sum(decimal) differently from
+    * other engines). */
   def windowedEventStats(events: DataFrame, widthSec: Long): DataFrame = {
     val widthNanos = widthSec * 1000000000L
     events
       .withColumn("window_start",
-        (col("ts").cast("long") / widthNanos).cast("long") * widthSec)
+        expr(s"CAST(ts AS BIGINT) div ${widthNanos}L") * widthSec)
       .groupBy(col("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(20,2)")).as("sum_value"))
+        round(sum(col("value").cast("decimal(20,2)")).cast("double"), 2).as("sum_value"))
   }
 
   /** The same aggregation as a true streaming query with watermark —
