@@ -6,7 +6,6 @@ import graft.ops.refine._
 import graft.ops.dedup._
 import graft.ops.eval._
 import graft.ops.text._
-import graft.serving.MockServing
 
 /** Name → factory registration for the operator inventory, mirroring the
   * reference's `OPERATOR_REGISTRY` discovery so pipelines are declarable
@@ -85,13 +84,33 @@ object Ops {
       "quality_score_evaluator" -> (p => QualityScoreEvaluator(key(p))),
       "token_count_evaluator" -> (p => TokenCountEvaluator(key(p))),
       "fingerprint_evaluator" -> (p => FingerprintEvaluator(key(p))),
-      "prompted_generator" -> (p => graft.ops.gen.PromptedGenerator(key(p), p.getOrElse("output_key", "gen"), MockServing(), p.getOrElse("system_prompt", ""))),
-      "prompted_filter" -> (p => graft.ops.gen.PromptedFilter(key(p), MockServing())),
-      "prompted_refiner" -> (p => graft.ops.gen.PromptedRefiner(key(p), MockServing())),
-      "prompted_evaluator" -> (p => graft.ops.gen.PromptedEvaluator(key(p), p.getOrElse("output_key", "score"), MockServing())),
+      // LLM-backed factories resolve their client through
+      // Registry.serving(p): serving=mock (default) | serving=http with
+      // endpoint/model params | a host-installed provider
+      "prompted_generator" -> (p => graft.ops.gen.PromptedGenerator(key(p), p.getOrElse("output_key", "gen"), Registry.serving(p), p.getOrElse("system_prompt", ""))),
+      "prompted_filter" -> (p => graft.ops.gen.PromptedFilter(key(p), Registry.serving(p))),
+      "prompted_refiner" -> (p => graft.ops.gen.PromptedRefiner(key(p), Registry.serving(p))),
+      "prompted_evaluator" -> (p => graft.ops.gen.PromptedEvaluator(key(p), p.getOrElse("output_key", "score"), Registry.serving(p))),
       "sql_executability_filter" -> (p => graft.ops.text2sql.SQLExecutabilityFilter(p.getOrElse("input_key", "sql"))),
       "sql_component_classifier" -> (p => graft.ops.text2sql.SQLComponentClassifier(p.getOrElse("input_key", "sql"))),
       "sql_execution_filter" -> (p => graft.ops.text2sql.SQLExecutionFilter(p.getOrElse("input_key", "sql"), i(p, "timeout_sec", 5))),
+      "sql_execution_classifier" -> (p => graft.ops.text2sql.SQLExecutionClassifier(p.getOrElse("prompt_key", "prompt"), p.getOrElse("gold_key", "sql"), Registry.serving(p), numGenerations = i(p, "num_generations", 10))),
+      "text2sql_correspondence_filter" -> (p => graft.ops.text2sql.Text2SQLCorrespondenceFilter(p.getOrElse("question_key", "question"), p.getOrElse("sql_key", "sql"), Registry.serving(p))),
+      "sql_by_column_generator" -> (p => graft.ops.text2sql.SQLByColumnGenerator(p.getOrElse("db_key", "db_id"), p.getOrElse("ddl_key", "schema_ddl"), Registry.serving(p), i(p, "generate_num", 5))),
+      "fineweb_edu_filter" -> (p => FineWebEduFilter(key(p), Registry.scorer(p), d(p, "min_score", 2.5), d(p, "max_score", 10000))),
+      "perplexity_filter" -> (p => PerplexityFilter(key(p), Registry.scorer(p), d(p, "min_score", 10.0), d(p, "max_score", 500.0))),
+      "qurating_filter" -> (p => QuratingFilter(key(p), Registry.scorer(p), p.getOrElse("dimension", "educational_value"), d(p, "min_score", 0), d(p, "max_score", 9))),
+      "pair_qual_filter" -> (p => PairQualFilter(key(p), Registry.scorer(p), d(p, "min_score", 0), d(p, "max_score", 10000))),
+      "textbook_filter" -> (p => TextbookFilter(key(p), Registry.scorer(p), d(p, "min_score", 0.99), d(p, "max_score", 1.0))),
+      "debertav3_filter" -> (p => DebertaV3Filter(key(p), Registry.scorer(p), d(p, "min_score", 1.0), d(p, "max_score", 2.0))),
+      "alpagasus_filter" -> (p => AlpagasusFilter(key(p), Registry.scorer(p), d(p, "min_score", 3), d(p, "max_score", 5))),
+      "deita_complexity_filter" -> (p => DeitaComplexityFilter(key(p), Registry.scorer(p), d(p, "min_score", 3.0), d(p, "max_score", 5.0))),
+      "deita_quality_filter" -> (p => DeitaQualityFilter(key(p), Registry.scorer(p), d(p, "min_score", 2.5), d(p, "max_score", 10000.0))),
+      "instag_filter" -> (p => InstagFilter(key(p), Registry.scorer(p), d(p, "min_score", 0.0), d(p, "max_score", 1.0))),
+      "rm_filter" -> (p => RMFilter(key(p), Registry.scorer(p), d(p, "min_score", 0.2), d(p, "max_score", 0.8))),
+      "superfiltering_filter" -> (p => SuperfilteringFilter(key(p), Registry.scorer(p), d(p, "min_score", 0.0), d(p, "max_score", 1.0))),
+      "treeinstruct_filter" -> (p => TreeinstructFilter(key(p), Registry.scorer(p), d(p, "min_score", 7), d(p, "max_score", 100))),
+      "model_score_evaluator" -> (p => ModelScoreEvaluator(key(p), Registry.scorer(p), p.getOrElse("output_key", "model_score"))),
       "answer_format_filter" -> (p => graft.ops.reasoning.AnswerFormatFilter(p.getOrElse("input_key", "answer"))),
       "answer_groundtruth_filter" -> (p => graft.ops.reasoning.AnswerGroundTruthFilter(p.getOrElse("answer_key", "answer"), p.getOrElse("golden_key", "golden_answer"))),
       "answer_ngram_filter" -> (p => graft.ops.reasoning.AnswerNgramFilter(p.getOrElse("question_key", "question"), p.getOrElse("answer_key", "answer"))),
@@ -103,7 +122,7 @@ object Ops {
       "image_decode_stub" -> (p => graft.ops.multimodal.ImageDecodeStub(p.getOrElse("input_key", "payload"))),
       "frame_sampler" -> (p => graft.ops.multimodal.FrameSampler(p.getOrElse("input_key", "frames"), i(p, "every", 10))),
       "image_resize_stub" -> (p => graft.ops.multimodal.ImageResizeStub(p.getOrElse("input_key", "decoded"), i(p, "max_side", 256))),
-      "speech2text_generator" -> (p => graft.ops.multimodal.Speech2TextGenerator(p.getOrElse("input_key", "payload"), p.getOrElse("output_key", "transcript"), MockServing())),
+      "speech2text_generator" -> (p => graft.ops.multimodal.Speech2TextGenerator(p.getOrElse("input_key", "payload"), p.getOrElse("output_key", "transcript"), Registry.serving(p))),
       "presidio_filter" -> (p => PresidioFilter(key(p), i(p, "max_entities", 0))),
       "composition_task_filter" -> (p => CompositionTaskFilter(p.getOrElse("input_key", "sub_tasks"), p.getOrElse("runnable", "").split(',').toSeq)),
       "chunk_splitter" -> (p => graft.ops.gen.ChunkSplitter(key(p), p.getOrElse("id_key", "doc_id"), p.getOrElse("mode", "token"), i(p, "chunk_size", 512), i(p, "min_chunk_tokens", 0))),

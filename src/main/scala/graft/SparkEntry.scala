@@ -56,7 +56,7 @@ object SparkEntry {
 
   private lazy val registry: Map[String, Q] = relational ++ filters ++ dedups ++
     refiners ++ evals ++ aggs ++ filters2 ++ refiners2 ++ misc ++ serving ++
-    text2sql ++ advanced ++ corpus ++ domain ++ codeq
+    text2sql ++ advanced ++ corpus ++ domain ++ codeq ++ modelScored
 
   // ---- relational / TPC-H-ish bench surface -------------------------------
   private def relational: Map[String, Q] = Map(
@@ -209,7 +209,17 @@ object SparkEntry {
         |    AND list_dot_product(a.e, b.e) /
         |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.95)
         |""".stripMargin) { (s, dir) =>
-      SemDeduplicateFilter("embedding", "vec_id", eps = 0.05)(t(s, dir, "embeddings"))
+      // mode=exact: the oracle is the full pairwise matrix; the operator's
+      // DEFAULT is the LSH path (dedup_sem_lsh below)
+      SemDeduplicateFilter("embedding", "vec_id", eps = 0.05, mode = "exact")(
+        t(s, dir, "embeddings"))
+        .select("vec_id", "label")
+    },
+    "dedup_sem_lsh" -> rowsOnly { (s, dir) =>
+      // default LSH candidate generation + exact verify — recall < 1 by
+      // construction, so rows-only (the exact-mode twin is fully oracled)
+      SemDeduplicateFilter("embedding", "vec_id", eps = 0.05)(
+        t(s, dir, "embeddings"))
         .select("vec_id", "label")
     },
     "dedup_minhash_mllib" -> rowsOnly { (s, dir) =>
@@ -440,6 +450,26 @@ object SparkEntry {
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select("o_orderkey", "o_custkey", "o_totalprice").limit(10)
+    },
+    "join_bucketed" -> oracled(
+      // co-located join: both sides persisted bucketed on the join key →
+      // zero Exchange in the join AND the downstream groupBy (PlanSpec
+      // asserts it); the pattern that amortizes one shuffle across every
+      // later consumer at 100 TB
+      """SELECT l_orderkey, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+      graft.core.Partitioning.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "graft_li_bucketed", "l_orderkey", 16)
+      graft.core.Partitioning.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")),
+        "graft_o_bucketed", "l_orderkey", 16)
+      s.table("graft_li_bucketed").join(s.table("graft_o_bucketed"), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(20,2)")).cast("double"), 2).as("sum_qty"))
     },
     "setop_union_users" -> oracled(
       """SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -701,12 +731,49 @@ object SparkEntry {
       s"SELECT doc_id, n_chars FROM $D WHERE doc_id % 2 = 0") { (s, dir) =>
       // distinct-statement count bounded by the mod (the reference caps
       // synthesis via generate_num the same way) — exec cost stays flat
-      // as the corpus scales
+      // as the corpus scales. Odd rows carry DDL: the SELECT/WITH guard
+      // must reject them WITHOUT executing (a DROP reaching the live
+      // session would be a real side effect).
       val withSql = t(s, dir, D).withColumn("sql",
         when(col("doc_id") % 2 === 0,
           concat(lit("SELECT "), col("doc_id") % 1000, lit(" AS x")))
-          .otherwise(lit("SELECT * FROM missing_table_xyz")))
+          .otherwise(concat(lit("DROP TABLE IF EXISTS t"), col("doc_id"))))
       SQLExecutionFilter("sql", timeoutSec = 5)(withSql).select("doc_id", "n_chars")
+    },
+    "t2s_exec_classify" -> oracled(
+      // generation-execution agreement difficulty: even rows' gold matches
+      // all 10 mock candidates (cnt=10 → easy), odd rows' gold differs
+      // (cnt=0 → extra)
+      s"""SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'easy' ELSE 'extra' END
+         |  AS difficulty FROM $D""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D)
+        .withColumn("prompt",
+          concat(lit("```sql SELECT "), col("doc_id") % 5, lit(" AS x ```")))
+        .withColumn("gold_sql",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("SELECT "), col("doc_id") % 5, lit(" AS x")))
+            .otherwise(concat(lit("SELECT "), (col("doc_id") + 1) % 5, lit(" AS x"))))
+      SQLExecutionClassifier("prompt", "gold_sql", mock)(df)
+        .select("doc_id", "difficulty")
+    },
+    "t2s_correspondence" -> oracled(
+      s"""SELECT doc_id, n_chars FROM $D
+         |WHERE length('question: ' || text || chr(10) || 'sql: SELECT ' || doc_id
+         |  || ' AS x' || chr(10) || 'schema: ') % 2 = 0""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D).withColumn("question", col("text"))
+        .withColumn("sql", concat(lit("SELECT "), col("doc_id"), lit(" AS x")))
+      Text2SQLCorrespondenceFilter("question", "sql", mock)(df)
+        .select("doc_id", "n_chars")
+    },
+    "t2s_by_column" -> oracled(
+      """SELECT lang AS db_id,
+        |  'echo[SQLGEN]:CREATE TABLE t_' || lang || '(x INT) -- variant ' || v AS sql
+        |FROM (SELECT DISTINCT lang FROM documents) d, range(3) r(v)""".stripMargin) {
+      (s, dir) =>
+        val dbs = t(s, dir, D).select(col("lang").as("db_id")).distinct()
+          .withColumn("schema_ddl",
+            concat(lit("CREATE TABLE t_"), col("db_id"), lit("(x INT)")))
+        SQLByColumnGenerator("db_id", "schema_ddl", mock, generateNum = 3)(dbs)
     })
 
   // ---- similarity / multimodal / streaming tiers --------------------------
@@ -1229,6 +1296,61 @@ object SparkEntry {
       t(s, dir, D).select(col("doc_id"),
         concat_ws(" ",
           graft.ops.code.SmilesExtract.candidates(col("text"))).as("smiles_candidates"))
+    })
+
+  // ---- model-scored filter families (§2.2 PT + SFT) -----------------------
+  // ServingScorer over MockServing: score = (length(text) % 100) / 10.0 —
+  // deterministic and SQL-expressible, so every threshold filter in the
+  // family gets a full value-level oracle. Production binds a classifier /
+  // reward endpoint through the same Scorer seam.
+  private lazy val mockScorer = graft.serving.ServingScorer(mock)
+  private val sqlMockScore = "CAST(length(text) % 100 AS DOUBLE) / 10.0"
+
+  private def scoredQ(op: graft.core.Op, scoreKey: String, sqlPred: String): Q =
+    oracled(
+      s"SELECT doc_id, $sqlMockScore AS $scoreKey FROM $D WHERE $sqlPred") {
+      (s, dir) => op(t(s, dir, D)).select("doc_id", scoreKey)
+    }
+
+  private def modelScored: Map[String, Q] = Map(
+    "filter_pt_fineweb_edu" -> scoredQ(
+      FineWebEduFilter("text", mockScorer), "fineweb_edu_score",
+      s"$sqlMockScore >= 2.5"),
+    "filter_pt_perplexity" -> scoredQ(
+      PerplexityFilter("text", mockScorer, minScore = 2.0, maxScore = 8.0),
+      "perplexity", s"$sqlMockScore BETWEEN 2.0 AND 8.0"),
+    "filter_pt_qurating" -> scoredQ(
+      QuratingFilter("text",
+        graft.serving.ServingScorer(mock, dimension = "educational_value")),
+      "qurating_score", s"$sqlMockScore BETWEEN 0 AND 9"),
+    "filter_pt_textbook" -> scoredQ(
+      TextbookFilter("text", mockScorer), "textbook_score",
+      s"$sqlMockScore BETWEEN 0.99 AND 1.0"),
+    "filter_pt_pair_qual" -> scoredQ(
+      PairQualFilter("text", mockScorer, minScore = 5.0), "pair_qual_score",
+      s"$sqlMockScore >= 5.0"),
+    "filter_sft_alpagasus" -> scoredQ(
+      AlpagasusFilter("text", mockScorer), "alpagasus_score",
+      s"$sqlMockScore BETWEEN 3 AND 5"),
+    "filter_sft_deita_quality" -> scoredQ(
+      DeitaQualityFilter("text", mockScorer), "deita_quality",
+      s"$sqlMockScore >= 2.5"),
+    "filter_sft_deita_complexity" -> scoredQ(
+      DeitaComplexityFilter("text", mockScorer), "deita_complexity",
+      s"$sqlMockScore BETWEEN 3.0 AND 5.0"),
+    "filter_sft_rm" -> scoredQ(
+      RMFilter("text", mockScorer), "rm_score",
+      s"$sqlMockScore BETWEEN 0.2 AND 0.8"),
+    "filter_sft_superfiltering" -> scoredQ(
+      SuperfilteringFilter("text", mockScorer), "superfiltering_score",
+      s"$sqlMockScore BETWEEN 0.0 AND 1.0"),
+    "filter_sft_treeinstruct" -> scoredQ(
+      TreeinstructFilter("text", mockScorer), "treeinstruct_score",
+      s"$sqlMockScore BETWEEN 7 AND 100"),
+    "eval_pt_model_score" -> oracled(
+      s"SELECT doc_id, $sqlMockScore AS model_score FROM $D") { (s, dir) =>
+      ModelScoreEvaluator("text", mockScorer, "model_score")(t(s, dir, D))
+        .select("doc_id", "model_score")
     })
 
   /** DuckDB QA-F1 token normalization (matches QAF1SampleEvaluator.norm). */

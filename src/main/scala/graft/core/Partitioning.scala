@@ -48,10 +48,20 @@ object Partitioning {
   }
 
   /** Persist bucketed by key — co-located scan-side joins with zero
-    * shuffle for every later consumer of the same key. */
+    * shuffle for every later consumer of the same key. Idempotent: drops
+    * the catalog entry AND any orphaned warehouse directory left by a
+    * previous session (CREATE TABLE refuses to reuse a location). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val path = new org.apache.hadoop.fs.Path(loc)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 }

@@ -87,7 +87,8 @@ final case class NgramHashDeduplicateFilter(inputKey: String = "text",
   * candidate pairs → drop the later row of every similar pair. */
 final case class MinHashDeduplicateFilter(inputKey: String = "text",
     orderKey: String = "doc_id", ngram: Int = 3, numPerm: Int = 128,
-    bands: Int = 32, threshold: Double = 0.9) extends Op {
+    bands: Int = 32, threshold: Double = 0.9,
+    maxBandBucket: Int = 1024) extends Op {
   require(numPerm % bands == 0, "bands must divide numPerm")
   val name = "minhash_deduplicate_filter"
   val inputKeys = Seq(inputKey, orderKey)
@@ -174,20 +175,47 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
   def apply(df: DataFrame): DataFrame = {
     val withSh = df.select(col(orderKey),
       shingleHashes(words(col(inputKey))).as("__sh"))
-    val banded = withSh.withColumn("__band", explode(bandKeys(col("__sh"))))
+    // Skew phase: collapse IDENTICAL shingle sets first. Exact-duplicate
+    // clusters (m copies of one doc) share every band, so the band
+    // self-join would emit O(m²) candidate pairs per cluster — the 100 TB
+    // skew killer. Identical sets have J=1 ≥ any threshold, and because
+    // identical docs are interchangeable, keeping only the min-orderKey
+    // representative per set is EXACT under keep-first semantics: any
+    // doc the oracle would drop via a collapsed member is also dropped
+    // via that member's (earlier) representative. Empty shingle sets
+    // produce no bands (never candidates) and are left alone.
+    val nonEmpty = withSh.filter(size(col("__sh")) > 0)
+    val wIdent = Window.partitionBy(col("__sh")).orderBy(col(orderKey))
+    val ranked = nonEmpty.withColumn("__rn", row_number().over(wIdent))
+    val identDups = ranked.filter(col("__rn") > 1).select(col(orderKey))
+    val reps = ranked.filter(col("__rn") === 1).drop("__rn")
+    val banded = reps.withColumn("__band", explode(bandKeys(col("__sh"))))
       .select(col(orderKey), col("__band"))
-    // candidate pairs sharing ANY band — distinct BEFORE the exact
-    // verify, so near-identical docs (sharing all bands) are checked
-    // once, not once per band
-    val cand = banded.toDF("i", "__band")
-      .join(banded.toDF("j", "__band"), Seq("__band"))
-      .where(col("i") < col("j"))
-      .select("i", "j").distinct()
-    val dups = cand
-      .join(withSh.select(col(orderKey).as("i"), col("__sh").as("sh_i")), Seq("i"))
-      .join(withSh.select(col(orderKey).as("j"), col("__sh").as("sh_j")), Seq("j"))
+    // Residual near-identical (but not identical) clusters can still
+    // produce hot buckets: cap them. Buckets ≤ maxBandBucket pair
+    // all-vs-all (exact); larger buckets pair members against the bucket
+    // minimum only — a documented approximation that can miss borderline
+    // pairs between two later members of a >cap bucket.
+    val stats = banded.groupBy("__band")
+      .agg(count(lit(1)).as("__cnt"), min(col(orderKey)).as("__bmin"))
+    val bandedS = banded.join(stats, Seq("__band"))
+    val small = bandedS.filter(col("__cnt") <= maxBandBucket)
+      .select(col(orderKey), col("__band"))
+    val candSmall = small.toDF("i", "__band")
+      .join(small.toDF("j", "__band"), Seq("__band"))
+      .where(col("i") < col("j")).select("i", "j")
+    val candBig = bandedS.filter(col("__cnt") > maxBandBucket &&
+        col(orderKey) =!= col("__bmin"))
+      .select(col("__bmin").as("i"), col(orderKey).as("j"))
+    // distinct BEFORE the exact verify, so candidates sharing several
+    // bands are checked once, not once per band
+    val cand = candSmall.union(candBig).distinct()
+    val bandDups = cand
+      .join(reps.select(col(orderKey).as("i"), col("__sh").as("sh_i")), Seq("i"))
+      .join(reps.select(col(orderKey).as("j"), col("__sh").as("sh_j")), Seq("j"))
       .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
-      .select(col("j").as(orderKey)).distinct()
+      .select(col("j").as(orderKey))
+    val dups = identDups.union(bandDups).distinct()
     df.join(dups, Seq(orderKey), "left_anti")
   }
 }
@@ -198,13 +226,19 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
   * segments (pigeonhole: hamming ≤ k ⇒ at least one segment equal) →
   * self-join on segments → exact `bit_count(xor)` verify. */
 final case class SimHashDeduplicateFilter(inputKey: String = "text",
-    orderKey: String = "doc_id", hammingK: Int = 3) extends Op {
+    orderKey: String = "doc_id", hammingK: Int = 3,
+    maxBandBucket: Int = 4096) extends Op {
   val name = "simhash_deduplicate_filter"
   val inputKeys = Seq(inputKey, orderKey)
   val outputKeys = Nil
   private val BITS = 60
   private val SEGS = hammingK + 1
   private val segBits = BITS / SEGS
+  // when (k+1) doesn't divide 60, the LAST segment absorbs the remainder
+  // bits — otherwise the top bits fall in no segment and the pigeonhole
+  // guarantee (hamming ≤ k ⇒ some segment equal) silently breaks
+  private def segWidth(s: Int): Int =
+    if (s == SEGS - 1) BITS - s * segBits else segBits
 
   /** 60-bit simhash: per-word 60-bit hash (md5 prefix), ±1 bit votes,
     * sign → fingerprint. Imperative kernel with a reused digest instance
@@ -235,37 +269,76 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
   def simhash(c: Column): Column = simhashUdf(words(c))
 
   def apply(df: DataFrame): DataFrame = {
-    val withSig = df.withColumn("__sig", simhash(col(inputKey)))
+    val withSig = df.select(col(orderKey), simhash(col(inputKey)).as("__sig"))
+    // identical-fingerprint collapse (hamming 0 ≤ k always, and identical
+    // sigs are interchangeable → min-representative is exact) — same skew
+    // reasoning as MinHashDeduplicateFilter
+    val wIdent = Window.partitionBy(col("__sig")).orderBy(col(orderKey))
+    val ranked = withSig.withColumn("__rn", row_number().over(wIdent))
+    val identDups = ranked.filter(col("__rn") > 1).select(col(orderKey))
+    val reps = ranked.filter(col("__rn") === 1).drop("__rn")
     val seg = explode(array((0 until SEGS).map(s =>
       concat_ws(":", lit(s),
-        shiftright(col("__sig"), s * segBits).bitwiseAND((1L << segBits) - 1))): _*))
-    val banded = withSig.withColumn("__seg", seg)
-    val l = banded.select(col(orderKey).as("i"), col("__sig").as("sig_i"), col("__seg"))
-    val r = banded.select(col(orderKey).as("j"), col("__sig").as("sig_j"), col("__seg"))
-    val dups = l.join(r, Seq("__seg")).where(col("i") < col("j"))
+        shiftright(col("__sig"), s * segBits)
+          .bitwiseAND((1L << segWidth(s)) - 1))): _*))
+    val banded = reps.withColumn("__seg", seg)
+    val stats = banded.groupBy("__seg")
+      .agg(count(lit(1)).as("__cnt"), min(col(orderKey)).as("__bmin"))
+    val bandedS = banded.join(stats, Seq("__seg"))
+    val small = bandedS.filter(col("__cnt") <= maxBandBucket)
+    val l = small.select(col(orderKey).as("i"), col("__sig").as("sig_i"), col("__seg"))
+    val r = small.select(col(orderKey).as("j"), col("__sig").as("sig_j"), col("__seg"))
+    val candSmall = l.join(r, Seq("__seg")).where(col("i") < col("j"))
+      .select(col("i"), col("j"), col("sig_i"), col("sig_j"))
+    val bigSigs = bandedS.filter(col("__cnt") > maxBandBucket)
+    val candBig = bigSigs.filter(col(orderKey) =!= col("__bmin"))
+      .select(col("__bmin").as("i"), col(orderKey).as("j"), col("__seg"))
+      .join(reps.select(col(orderKey).as("i"), col("__sig").as("sig_i")), Seq("i"))
+      .join(reps.select(col(orderKey).as("j"), col("__sig").as("sig_j")), Seq("j"))
+      .select(col("i"), col("j"), col("sig_i"), col("sig_j"))
+    val bandDups = candSmall.union(candBig)
       .where(bit_count(col("sig_i").bitwiseXOR(col("sig_j"))) <= hammingK)
-      .select(col("j").as(orderKey)).distinct()
+      .select(col("j").as(orderKey))
+    val dups = identDups.union(bandDups).distinct()
     df.join(dups, Seq(orderKey), "left_anti")
   }
 }
 
 /** Semantic (embedding-cosine) near-dedup
   * (`sem_deduplicate_filter.py:63-155`: BERT embeddings, full cosine
-  * matrix, drop later row of any pair with cos ≥ 1-eps). Exact pairwise
-  * path below (fine to ~10^4 rows per verification run); the 100 TB path
-  * is [[graft.ops.sim.CosineLsh]] bucketing feeding the same verify. */
+  * matrix, drop later row of any pair with cos ≥ 1-eps).
+  *
+  * Default mode "lsh" is the 100 TB path: multi-table random-hyperplane
+  * buckets generate candidate pairs (shuffle ∝ candidates, not n²), then
+  * the EXACT cosine verifies each pair — recall < 1 by construction
+  * (pairs whose vectors land in different buckets in every table are
+  * missed; with 8 bits × 4 tables at cos ≥ 0.95 recall ≈ 0.89). Mode
+  * "exact" reproduces the reference's full pairwise matrix — O(n²), only
+  * for small-n verification runs, never at scale. */
 final case class SemDeduplicateFilter(embKey: String = "embedding",
-    orderKey: String = "vec_id", eps: Double = 0.05) extends Op {
+    orderKey: String = "vec_id", eps: Double = 0.05, mode: String = "lsh",
+    bits: Int = 8, tables: Int = 4, dim: Int = 64) extends Op {
+  require(mode == "lsh" || mode == "exact", s"mode $mode")
   val name = "sem_deduplicate_filter"
   val inputKeys = Seq(embKey, orderKey)
   val outputKeys = Nil
   def apply(df: DataFrame): DataFrame = {
     val v = df.select(col(orderKey), col(embKey).cast("array<double>").as("__v"))
-    val l = v.select(col(orderKey).as("i"), col("__v").as("vi"))
-    val r = v.select(col(orderKey).as("j"), col("__v").as("vj"))
     val cos = Dedup.cosine(col("vi"), col("vj"))
-    val dups = l.crossJoin(r).where(col("i") < col("j"))
-      .where(cos >= 1.0 - eps)
+    val cand =
+      if (mode == "exact") {
+        val l = v.select(col(orderKey).as("i"), col("__v").as("vi"))
+        val r = v.select(col(orderKey).as("j"), col("__v").as("vj"))
+        l.crossJoin(r).where(col("i") < col("j"))
+      } else {
+        val bucketed = v.withColumn("__bucket", explode(
+          graft.ops.sim.CosineLsh.buckets(col("__v"), bits, dim, tables)))
+        val l = bucketed.select(col(orderKey).as("i"), col("__v").as("vi"), col("__bucket"))
+        val r = bucketed.select(col(orderKey).as("j"), col("__v").as("vj"), col("__bucket"))
+        l.join(r, Seq("__bucket")).where(col("i") < col("j"))
+          .select("i", "j", "vi", "vj").dropDuplicates("i", "j")
+      }
+    val dups = cand.where(cos >= 1.0 - eps)
       .select(col("j").as(orderKey)).distinct()
     df.join(dups, Seq(orderKey), "left_anti")
   }
@@ -274,16 +347,24 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
 /** Greedy k-center coreset selection over embeddings
   * (`kcentergreedy_filter.py:14-218`): keep k maximally-diverse rows.
   * Inherently sequential-greedy → runs on the driver over collected
-  * vectors (bounded by k and candidate count; the reference does the
-  * same in numpy). Deterministic: starts from the smallest id; ties
-  * break toward the smallest id. */
+  * vectors (the reference does the same in numpy). Deterministic: starts
+  * from the smallest id; ties break toward the smallest id.
+  *
+  * Driver memory is bounded by `maxCandidates`, NOT by n: candidates are
+  * the first maxCandidates rows by orderKey (deterministic). Selection
+  * quality degrades gracefully when n > maxCandidates (coreset drawn
+  * from the capped prefix) — raise the cap or pre-sample upstream if the
+  * prefix is not representative. */
 final case class KCenterGreedyFilter(embKey: String = "embedding",
-    orderKey: String = "vec_id", k: Int = 100) extends Op {
+    orderKey: String = "vec_id", k: Int = 100,
+    maxCandidates: Int = 200000) extends Op {
+  require(k <= maxCandidates, "k must be ≤ maxCandidates")
   val name = "kcenter_greedy_filter"
   val inputKeys = Seq(embKey, orderKey)
   val outputKeys = Nil
   def apply(df: DataFrame): DataFrame = {
     val rows = df.select(col(orderKey).cast("long"), col(embKey).cast("array<double>"))
+      .orderBy(col(orderKey)).limit(maxCandidates)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)

@@ -38,19 +38,24 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucketing: `bits` sign-bits of dot products
-    * with fixed pseudo-random planes (deterministic seed). Same-bucket
-    * candidates then rank exactly. Recall < 1 by construction — the
-    * 100 TB path where brute force is off the table. */
+    * with fixed pseudo-random planes (deterministic seed), OR-amplified
+    * across `tables` independent plane sets — a pair is a candidate when
+    * it collides in ANY table, so recall ≈ 1-(1-p^bits)^tables instead of
+    * single-probe p^bits. Same-bucket candidates then rank exactly.
+    * Recall < 1 by construction — the 100 TB path where brute force is
+    * off the table. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, embKey: String,
-      idKey: String, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+      idKey: String, k: Int, bits: Int = 8, dim: Int = 64,
+      tables: Int = 4): DataFrame = {
     val c = corpus.select(col(idKey).as("neighbor_id"),
       col(embKey).cast("array<double>").as("__ce"))
-      .withColumn("__bucket", CosineLsh.bucket(col("__ce"), bits, dim))
+      .withColumn("__bucket", explode(CosineLsh.buckets(col("__ce"), bits, dim, tables)))
     val q = queries.select(col(idKey).as("query_id"),
       col(embKey).cast("array<double>").as("__qe"))
-      .withColumn("__bucket", CosineLsh.bucket(col("__qe"), bits, dim))
+      .withColumn("__bucket", explode(CosineLsh.buckets(col("__qe"), bits, dim, tables)))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -60,17 +65,19 @@ object Similarity {
   }
 
   /** Cosine-similarity join: all pairs (a, b) with cos ≥ threshold, via
-    * LSH buckets (candidates only, then exact check). */
+    * multi-table LSH buckets (candidates only, then exact check). */
   def similarityJoin(df: DataFrame, embKey: String, idKey: String,
-      threshold: Double, bits: Int = 8, dim: Int = 64): DataFrame = {
+      threshold: Double, bits: Int = 8, dim: Int = 64,
+      tables: Int = 4): DataFrame = {
     val v = df.select(col(idKey), col(embKey).cast("array<double>").as("__v"))
-      .withColumn("__bucket", CosineLsh.bucket(col("__v"), bits, dim))
+      .withColumn("__bucket", explode(CosineLsh.buckets(col("__v"), bits, dim, tables)))
     val l = v.select(col(idKey).as("a"), col("__v").as("va"), col("__bucket"))
     val r = v.select(col(idKey).as("b"), col("__v").as("vb"), col("__bucket"))
     l.join(r, Seq("__bucket")).where(col("a") < col("b"))
+      .dropDuplicates("a", "b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
-      .select("a", "b", "cos").distinct()
+      .select("a", "b", "cos")
   }
 }
 
@@ -84,11 +91,33 @@ object CosineLsh {
     if ((h & 1) == 0) 1.0 else -1.0
   }
 
-  def bucket(v: Column, bits: Int, dim: Int): Column = {
-    val bitCols = (0 until bits).map { p =>
-      val dot = (0 until dim).map(i => v.getItem(i) * lit(weight(p, i))).reduce(_ + _)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+  /** One bucket key per table, namespaced "t:bucket" so tables never
+    * cross-match; explode + join on the key gives OR-amplification.
+    * Imperative kernel with a precomputed weight matrix — the equivalent
+    * expression tree (tables × bits × dim terms) blows up codegen. */
+  def buckets(v: Column, bits: Int, dim: Int, tables: Int): Column = {
+    val w = Array.tabulate(tables * bits, dim)(weight)
+    val b = bits
+    val f = udf { vec: Seq[Double] =>
+      if (vec == null || vec.isEmpty) Array.empty[String]
+      else {
+        val arr = vec.toArray
+        Array.tabulate(w.length / b) { ti =>
+          var code = 0L
+          var bi = 0
+          while (bi < b) {
+            val wp = w(ti * b + bi)
+            var dot = 0.0
+            var i = 0
+            val n = math.min(wp.length, arr.length)
+            while (i < n) { dot += arr(i) * wp(i); i += 1 }
+            if (dot > 0) code |= (1L << bi)
+            bi += 1
+          }
+          s"$ti:$code"
+        }
+      }
     }
-    bitCols.reduce(_ + _)
+    f(v.cast("array<double>"))
   }
 }

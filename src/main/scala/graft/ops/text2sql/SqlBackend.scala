@@ -1,0 +1,157 @@
+package graft.ops.text2sql
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SQL-over-comments stripping + statement-type guard, shared by every op
+  * that executes corpus-derived SQL. The reference restricts execution to
+  * SELECT statements first (`text2sql/filter/sql_execution_filter.py`
+  * filter_select_sql) — LLM- or corpus-derived DDL/DML (DROP TABLE,
+  * INSERT OVERWRITE …) must fail the filter WITHOUT running. */
+object SqlGuard {
+  def stripped(c: Column): Column =
+    regexp_replace(regexp_replace(c, "--[^\n]*", " "), "(?s)/\\*.*?\\*/", " ")
+
+  /** True iff the comment-stripped statement starts with SELECT or WITH. */
+  def isSelect(c: Column): Column =
+    lower(stripped(c)).rlike("^\\s*(select|with)\\b")
+}
+
+/** Statement-execution seam for SQLExecutionFilter / SQLExecutionClassifier
+  * — the engine-side analogue of the reference's pooled DatabaseManager
+  * (`utils/text2sql/database_manager.py:110-113`, query_timeout 5s).
+  *
+  * `execute` maps a DataFrame of DISTINCT statements (column `sqlKey`) to
+  * (sqlKey, __ok: boolean, __hash: string) where __hash is the sha256 hex
+  * of the sorted canonical row encoding of the result set (null on
+  * failure). sha256 — not 32-bit hashCode — so execution-compare
+  * classification cannot false-match on collisions at corpus scale.
+  */
+trait SqlBackend extends Serializable {
+  def execute(distinct: DataFrame, sqlKey: String, timeoutSec: Int): DataFrame
+}
+
+object SqlBackend {
+  /** sha256 hex of the sorted row encodings — the canonical result-set
+    * fingerprint both backends emit. */
+  def resultSetHash(rows: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.sorted.foreach { r => md.update(r.getBytes("UTF-8")); md.update(0.toByte) }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+}
+
+/** Fully distributed execution over JDBC: `mapPartitions` with ONE
+  * connection per partition and a per-statement `setQueryTimeout` — the
+  * 100 TB path, mirroring the reference's per-db SQLite pools but without
+  * any driver-side collection: distinct statements stay partitioned end
+  * to end. Works with any serializable-configurable JDBC database
+  * (embedded Derby in tests; server-side MySQL/Postgres by URL in
+  * production). */
+final case class JdbcSqlBackend(url: String, driverClass: String = "",
+    props: Map[String, String] = Map.empty) extends SqlBackend {
+  def execute(distinct: DataFrame, sqlKey: String, timeoutSec: Int): DataFrame = {
+    val idx = distinct.schema.fieldIndex(sqlKey)
+    val outSchema = distinct.schema
+      .add(StructField("__ok", BooleanType, nullable = false))
+      .add(StructField("__hash", StringType, nullable = true))
+    val (u, dc, pr, to) = (url, driverClass, props, timeoutSec)
+    distinct.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        if (dc.nonEmpty) Class.forName(dc)
+        val p = new java.util.Properties()
+        pr.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = java.sql.DriverManager.getConnection(u, p)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) {
+          closed = true; try conn.close() catch { case _: Throwable => () }
+        }
+        val mapped = rows.map { r =>
+          val sql = r.getString(idx)
+          val (ok, hash) = JdbcSqlBackend.run(conn, sql, to)
+          Row.fromSeq(r.toSeq :+ ok :+ hash)
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = { val h = mapped.hasNext; if (!h) closeOnce(); h }
+          def next(): Row = mapped.next()
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}
+
+object JdbcSqlBackend {
+  private[text2sql] def run(conn: java.sql.Connection, sql: String,
+      timeoutSec: Int): (Boolean, String) = {
+    val st = conn.createStatement()
+    try {
+      st.setQueryTimeout(timeoutSec)
+      val rs = st.executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) {
+        val sb = new StringBuilder
+        var i = 1
+        while (i <= n) {
+          if (i > 1) sb.append('\u0001')
+          sb.append(String.valueOf(rs.getObject(i)))
+          i += 1
+        }
+        buf += sb.toString
+      }
+      (true, SqlBackend.resultSetHash(buf.toSeq))
+    } catch { case _: Exception => (false, null) }
+    finally st.close()
+  }
+}
+
+/** Execution on the LIVE SparkSession (engine-native queries over temp
+  * views / catalog tables). `spark.sql` only exists on the driver, so the
+  * distinct statements are collected — bounded by `maxDistinct`, refusing
+  * loudly rather than OOMing silently. For unbounded SQL corpora use
+  * [[JdbcSqlBackend]]; this backend is for corpora whose distinct
+  * statement count is capped by construction (the reference caps synthesis
+  * via generate_num the same way). */
+final case class SparkSessionBackend(maxDistinct: Int = 100000,
+    maxWorkers: Int = 16) extends SqlBackend {
+  def execute(distinct: DataFrame, sqlKey: String, timeoutSec: Int): DataFrame = {
+    val spark = distinct.sparkSession
+    val stmts = distinct.select(sqlKey).limit(maxDistinct + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(stmts.length <= maxDistinct,
+      s"SparkSessionBackend: > $maxDistinct distinct statements; " +
+        "use JdbcSqlBackend (distributed) or raise maxDistinct")
+    import scala.jdk.CollectionConverters._
+    val pool = SparkSessionBackend.pool(maxWorkers)
+    val tasks = stmts.map { q =>
+      new java.util.concurrent.Callable[(String, Boolean, String)] {
+        def call(): (String, Boolean, String) =
+          SqlExecutor.hashed(spark, q, timeoutSec) match {
+            case Some(h) => (q, true, h)
+            case None    => (q, false, null)
+          }
+      }
+    }
+    val verdicts = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    spark.createDataFrame(verdicts).toDF(sqlKey, "__ok", "__hash")
+  }
+}
+
+object SparkSessionBackend {
+  private val pools =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ExecutorService]()
+  private def pool(n: Int): java.util.concurrent.ExecutorService =
+    pools.computeIfAbsent(n, { k =>
+      java.util.concurrent.Executors.newFixedThreadPool(k,
+        new java.util.concurrent.ThreadFactory {
+          private val c = new java.util.concurrent.atomic.AtomicInteger()
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-sqlexec-$k-${c.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        })
+    })
+}

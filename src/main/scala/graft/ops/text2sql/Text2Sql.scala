@@ -72,11 +72,9 @@ final case class SQLExecutabilityFilter(sqlKey: String) extends Op {
   val name = "sql_executability_filter"
   val inputKeys = Seq(sqlKey)
   val outputKeys = Nil
-  def stripped: Column =
-    regexp_replace(regexp_replace(col(sqlKey), "--[^\n]*", " "),
-      "(?s)/\\*.*?\\*/", " ")
+  def stripped: Column = SqlGuard.stripped(col(sqlKey))
   def apply(df: DataFrame): DataFrame =
-    df.filter(lower(stripped).rlike("^\\s*(select|with)\\b"))
+    df.filter(SqlGuard.isSelect(col(sqlKey)))
 }
 
 /** Spider-style hardness classification (easy/medium/hard/extra) — a
@@ -104,38 +102,141 @@ final case class SQLComponentClassifier(sqlKey: String,
         .otherwise("extra"))
 }
 
-/** Execute each DISTINCT SQL against the engine with a timeout and keep
-  * rows whose SQL runs (`sql_execution_filter.py:13-80`,
-  * `database_manager.py:110-113` query_timeout=5s). Distinct statements
-  * are collected to the driver (the reference's pooled exec is also
-  * driver-coordinated), executed against registered temp views, and the
-  * verdicts broadcast-joined back — executor-side per-row DB connections
-  * are avoided entirely. */
-final case class SQLExecutionFilter(sqlKey: String, timeoutSec: Int = 5)
-    extends Op {
+/** Execute each DISTINCT SQL with a timeout and keep rows whose SQL runs
+  * (`sql_execution_filter.py:13-80`, `database_manager.py:110-113`
+  * query_timeout=5s).
+  *
+  * Statement-type guard first (reference filter_select_sql): anything
+  * that is not SELECT/WITH after comment stripping fails WITHOUT being
+  * executed — corpus-derived DDL/DML must never run against a live
+  * catalog. Execution happens through the [[SqlBackend]] seam: the
+  * default [[SparkSessionBackend]] is driver-pooled and bounded by
+  * maxDistinct; [[JdbcSqlBackend]] keeps distinct statements fully
+  * distributed (mapPartitions, per-partition connection) for unbounded
+  * corpora. */
+final case class SQLExecutionFilter(sqlKey: String, timeoutSec: Int = 5,
+    backend: SqlBackend = SparkSessionBackend()) extends Op {
   val name = "sql_execution_filter"
   val inputKeys = Seq(sqlKey)
   val outputKeys = Nil
   def apply(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val distinctSql = df.select(sqlKey).distinct()
-      .collect().map(_.getString(0)).toSeq
-    // spark.sql is thread-safe: fan the distinct statements over a driver
-    // pool (the reference uses 20 workers, database_manager.py:110-113)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(16, Runtime.getRuntime.availableProcessors()))
-    val verdicts = try {
-      import scala.jdk.CollectionConverters._
-      val tasks = distinctSql.map { q =>
-        new java.util.concurrent.Callable[(String, Boolean)] {
-          def call(): (String, Boolean) = (q, SqlExecutor.runs(spark, q, timeoutSec))
-        }
-      }
-      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
-    } finally pool.shutdown()
-    val vdf = spark.createDataFrame(verdicts).toDF(sqlKey, "__ok")
-    df.join(broadcast(vdf), Seq(sqlKey), "left")
-      .filter(col("__ok")).drop("__ok")
+    val distinct = df.filter(SqlGuard.isSelect(col(sqlKey)))
+      .select(sqlKey).distinct()
+    val verdicts = backend.execute(distinct, sqlKey, timeoutSec)
+    df.join(verdicts.select(col(sqlKey), col("__ok")), Seq(sqlKey), "left")
+      .filter(coalesce(col("__ok"), lit(false)))
+      .drop("__ok")
+  }
+}
+
+/** Difficulty labeling by generation-execution agreement
+  * (`sql_execution_classifier.py:15-243`): sample `numGenerations`
+  * candidate SQLs per row from the LLM, execute each against the gold
+  * SQL's database, count result-set matches, map the count through the
+  * thresholds (≤2 extra, ≤5 hard, ≤9 medium, else easy). Candidate and
+  * gold result sets compare by sha256 fingerprint via [[SqlBackend]];
+  * every DISTINCT statement executes exactly once regardless of how many
+  * rows or samples share it. */
+final case class SQLExecutionClassifier(promptKey: String, goldKey: String,
+    serving: ServingClient, backend: SqlBackend = SparkSessionBackend(),
+    numGenerations: Int = 10, thresholds: Seq[Int] = Seq(2, 5, 9),
+    labels: Seq[String] = Seq("extra", "hard", "medium", "easy"),
+    timeoutSec: Int = 5, outputKey: String = "difficulty") extends Op {
+  require(thresholds.length == labels.length - 1,
+    "thresholds and labels configuration mismatch")
+  val name = "sql_execution_classifier"
+  val inputKeys = Seq(promptKey, goldKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame = {
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val sampled = (0 until numGenerations).foldLeft(withId) { (d, i) =>
+      val p = d.withColumn("__p", concat(col(promptKey), lit(s"#$i")))
+      LLMMap.generated(p, "__p", s"__g$i", serving, "SQLGEN").drop("__p")
+    }
+    val parsed = (0 until numGenerations).foldLeft(sampled) { (d, i) =>
+      d.withColumn(s"__g$i", SqlExtract(col(s"__g$i")))
+    }
+    val cands = parsed.select(col("__rid"), col(goldKey),
+      explode(array((0 until numGenerations).map(i => col(s"__g$i")): _*)).as("__cand"))
+    val stmts = cands.select(col("__cand").as("__stmt"))
+      .union(parsed.select(col(goldKey).as("__stmt")))
+      .filter(SqlGuard.isSelect(col("__stmt")))
+      .distinct()
+    val verdicts = backend.execute(stmts, "__stmt", timeoutSec)
+    val gv = verdicts.select(col("__stmt").as(goldKey),
+      col("__ok").as("__gok"), col("__hash").as("__ghash"))
+    val cv = verdicts.select(col("__stmt").as("__cand"),
+      col("__ok").as("__cok"), col("__hash").as("__chash"))
+    val counted = cands
+      .join(gv, Seq(goldKey), "left")
+      .join(cv, Seq("__cand"), "left")
+      .groupBy("__rid")
+      .agg(sum(when(col("__gok") && col("__cok") &&
+        col("__chash") === col("__ghash"), 1).otherwise(0)).as("__cnt"))
+    val cnt = coalesce(col("__cnt"), lit(0))
+    val label = thresholds.zip(labels).foldRight(lit(labels.last): Column) {
+      case ((t, l), acc) => when(cnt <= t, l).otherwise(acc)
+    }
+    withId.join(counted, Seq("__rid"), "left")
+      .withColumn(outputKey, label)
+      .drop("__rid", "__cnt")
+  }
+}
+
+/** LLM-judged question↔SQL correspondence filter
+  * (`text2sql_correspondence_filter.py:17-122`): prompt the judge with
+  * question + SQL (+ the db's schema DDL via a broadcast dim join), keep
+  * rows whose response says yes (the reference scans fenced ``` blocks
+  * for 'yes'; bare yes/no responses are accepted as a fallback). */
+final case class Text2SQLCorrespondenceFilter(questionKey: String,
+    sqlKey: String, serving: ServingClient,
+    schemas: Option[DataFrame] = None, dbKey: String = "db_id",
+    schemaKey: String = "schema_ddl") extends Op {
+  val name = "text2sql_correspondence_filter"
+  val inputKeys = Seq(questionKey, sqlKey)
+  val outputKeys = Nil
+  def apply(df: DataFrame): DataFrame = {
+    val hadSchema = df.columns.contains(schemaKey)
+    val withSchema = schemas match {
+      case Some(sdf) => df.join(broadcast(sdf), Seq(dbKey), "left")
+      case None if hadSchema => df
+      case None => df.withColumn(schemaKey, lit(""))
+    }
+    val prompted = withSchema.withColumn("__p",
+      concat(lit("question: "), col(questionKey), lit("\nsql: "), col(sqlKey),
+        lit("\nschema: "), coalesce(col(schemaKey), lit(""))))
+    val judged = LLMMap.generated(prompted, "__p", "__resp", serving, "JUDGE")
+    val blocks = regexp_extract_all(lower(col("__resp")),
+      lit("```\\s*([\\s\\S]*?)\\s*```"), lit(1))
+    val hit = exists(blocks, b => b.contains("yes")) ||
+      lower(trim(col("__resp"))).startsWith("yes")
+    val kept = judged.filter(hit).drop("__p", "__resp")
+    if (hadSchema) kept else kept.drop(schemaKey)
+  }
+}
+
+/** Per-database SQL synthesis (`sql_by_column_generator.py:20-118`): for
+  * each database row, special_column_count × generateNum prompts built
+  * from its CREATE/INSERT statements, each answered by the LLM and parsed
+  * for the fenced ```sql block. Spark shape: explode the per-db slot
+  * range (narrow), then one LLMMap pass — generation volume scales with
+  * databases × columns, never with corpus rows. */
+final case class SQLByColumnGenerator(dbKey: String, ddlKey: String,
+    serving: ServingClient, generateNum: Int = 5,
+    specialColsKey: String = "", outputKey: String = "sql") extends Op {
+  val name = "sql_by_column_generator"
+  val inputKeys = Seq(dbKey, ddlKey)
+  val outputKeys = Seq(outputKey)
+  def apply(databases: DataFrame): DataFrame = {
+    val nCols =
+      if (specialColsKey.nonEmpty) col(specialColsKey).cast("int") else lit(1)
+    val n = greatest(nCols * generateNum, lit(1))
+    val seeded = databases
+      .withColumn("__slot", explode(sequence(lit(0), n - 1)))
+      .withColumn("__p", concat(col(ddlKey), lit(" -- variant "), col("__slot")))
+    LLMMap.generated(seeded, "__p", "__raw", serving, "SQLGEN")
+      .withColumn(outputKey, SqlExtract(col("__raw")))
+      .select(col(dbKey), col(outputKey))
   }
 }
 
@@ -181,17 +282,20 @@ object SqlExecutor {
     } catch { case _: Throwable => false }
   }
 
-  /** Timed result for classification use
-    * (`sql_execution_classifier.py:15-243`): Some(rows-hash) or None. */
-  def resultHash(spark: SparkSession, sql: String, timeoutSec: Int): Option[Long] = {
+  /** Timed result fingerprint for execution-compare classification
+    * (`sql_execution_classifier.py:15-243`): Some(sha256 of the sorted
+    * canonical row encoding) or None on error/timeout. sha256 — a 32-bit
+    * hash would false-match pairs at corpus scale. */
+  def hashed(spark: SparkSession, sql: String, timeoutSec: Int): Option[String] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     try {
       Await.result(Future {
         val rows = spark.sql(sql).collect()
-        Some(rows.map(_.toString).sorted.mkString("\n").hashCode.toLong)
-      }.recover { case _ => None }, timeoutSec.seconds)
+        Some(SqlBackend.resultSetHash(rows.toSeq.map(r =>
+          r.toSeq.map(String.valueOf).mkString("\\u0001"))))
+      }.recover { case _: Throwable => None }, timeoutSec.seconds)
     } catch { case _: Throwable => None }
   }
 }

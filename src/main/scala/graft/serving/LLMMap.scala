@@ -27,7 +27,26 @@ object LLMMap {
       rows.grouped(batchSize).flatMap { batch =>
         val prompts = batch.map(r => Option(r.getString(idx)).getOrElse(""))
         val outs = serving.generate(prompts, systemPrompt)
+        require(outs.length == prompts.length,
+          s"ServingClient.generate returned ${outs.length} outputs for ${prompts.length} prompts")
         batch.lazyZip(outs).map { (r, o) => Row.fromSeq(r.toSeq :+ o) }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** df + outputKey = scorer.score(text(row)) as double — the bridge for
+    * the model-scored filter/eval families. */
+  def scored(df: DataFrame, inputKey: String, outputKey: String,
+      scorer: Scorer, batchSize: Int = 64): DataFrame = {
+    val schema = df.schema.add(StructField(outputKey, DoubleType, nullable = true))
+    val idx = df.schema.fieldIndex(inputKey)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(r => Option(r.getString(idx)).getOrElse(""))
+        val ss = scorer.score(texts)
+        require(ss.length == texts.length,
+          s"Scorer returned ${ss.length} scores for ${texts.length} texts")
+        batch.lazyZip(ss).map { (r, s) => Row.fromSeq(r.toSeq :+ s) }
       }
     }(Encoders.row(schema))
   }
@@ -42,6 +61,8 @@ object LLMMap {
       rows.grouped(batchSize).flatMap { batch =>
         val texts = batch.map(r => Option(r.getString(idx)).getOrElse(""))
         val vecs = serving.embed(texts)
+        require(vecs.length == texts.length,
+          s"ServingClient.embed returned ${vecs.length} vectors for ${texts.length} texts")
         batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
       }
     }(Encoders.row(schema))

@@ -69,13 +69,15 @@ object MockServing {
 final case class HttpServing(endpoint: String, model: String,
     apiKeyEnv: String = "LLM_API_KEY", maxWorkers: Int = 10,
     maxRetries: Int = 5, connectTimeoutSec: Int = 10,
-    readTimeoutSec: Int = 120) extends ServingClient {
+    readTimeoutSec: Int = 120, embedEndpoint: String = "") extends ServingClient {
 
   @transient private lazy val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(connectTimeoutSec.toLong))
     .build()
-  @transient private lazy val pool =
-    java.util.concurrent.Executors.newFixedThreadPool(maxWorkers)
+  // JVM-shared daemon pool: instances are deserialized once per task, so a
+  // per-instance non-daemon pool would leak maxWorkers threads per task on
+  // long-lived executors and block JVM exit.
+  @transient private lazy val pool = HttpServing.sharedPool(maxWorkers)
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -136,7 +138,55 @@ final case class HttpServing(endpoint: String, model: String,
     pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
   }
 
-  def embed(texts: Seq[String]): Seq[Array[Double]] =
-    throw new UnsupportedOperationException(
-      "HttpServing.embed: wire an embeddings endpoint per deployment")
+  /** OpenAI-compatible embeddings call (`POST /v1/embeddings`, body
+    * `{"model":..,"input":[..]}` → `data[i].embedding`). The endpoint
+    * defaults to the chat endpoint with `chat/completions` swapped for
+    * `embeddings`; override via `embedEndpoint`. */
+  def embed(texts: Seq[String]): Seq[Array[Double]] = {
+    val uri = if (embedEndpoint.nonEmpty) embedEndpoint
+      else endpoint.replace("chat/completions", "embeddings")
+    val body = texts.map(t => "\"" + jsonEscape(t) + "\"")
+      .mkString(s"""{"model":"${jsonEscape(model)}","input":[""", ",", "]}")
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+      .timeout(java.time.Duration.ofSeconds(readTimeoutSec.toLong))
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Bearer ${sys.env.getOrElse(apiKeyEnv, "")}")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = withRetry {
+      val r = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (r.statusCode() >= 300)
+        throw new java.io.IOException(s"serving HTTP ${r.statusCode()}")
+      r.body()
+    }
+    // extract each "embedding": [ ... ] array in order
+    val m = java.util.regex.Pattern
+      .compile(""""embedding"\s*:\s*\[([^\]]*)\]""").matcher(resp)
+    val out = Seq.newBuilder[Array[Double]]
+    while (m.find())
+      out += m.group(1).split(",").filter(_.trim.nonEmpty).map(_.trim.toDouble)
+    val vecs = out.result()
+    require(vecs.length == texts.length,
+      s"embeddings endpoint returned ${vecs.length} vectors for ${texts.length} inputs")
+    vecs
+  }
+}
+
+object HttpServing {
+  private val pools =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ExecutorService]()
+
+  /** One daemon-threaded pool per worker count, shared JVM-wide. */
+  private[serving] def sharedPool(maxWorkers: Int): java.util.concurrent.ExecutorService =
+    pools.computeIfAbsent(maxWorkers, { n =>
+      java.util.concurrent.Executors.newFixedThreadPool(n,
+        new java.util.concurrent.ThreadFactory {
+          private val count = new java.util.concurrent.atomic.AtomicInteger()
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-serving-$n-${count.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        })
+    })
 }

@@ -52,6 +52,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bucketed query plan is exchange-free end to end") {
+    val plan = physicalPlan("join_bucketed")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join/groupBy still shuffles:\n${plan.take(1200)}")
+  }
+
   test("bucketed tables join without any exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val s2 = spark // same session; tables land in its warehouse
