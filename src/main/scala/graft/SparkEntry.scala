@@ -268,15 +268,9 @@ object SparkEntry {
       (s, dir) =>
         NgramSampleEvaluator("text", 5)(t(s, dir, D)).select("doc_id", "ngram_score")
     },
-    "eval_lexical_diversity" -> oracled(
-      s"""SELECT doc_id,
-         |  round(CAST(len(list_distinct(${sqlWords("text")})) AS DOUBLE) /
-         |        CAST(${sqlWordCount("text")} AS DOUBLE), 6) AS ttr,
-         |  round(CAST(len(list_distinct(${sqlWords("text")})) AS DOUBLE) /
-         |        sqrt(CAST(${sqlWordCount("text")} AS DOUBLE)), 6) AS rttr
-         |FROM $D""".stripMargin) { (s, dir) =>
+    "eval_lexical_diversity" -> oracled(sqlLexicalDiversity) { (s, dir) =>
       LexicalDiversitySampleEvaluator("text")(t(s, dir, D))
-        .select("doc_id", "ttr", "rttr")
+        .select("doc_id", "ttr", "rttr", "mtld", "hdd")
     },
     "eval_langkit" -> oracled(
       s"""SELECT doc_id, length(text) AS char_count,
@@ -317,6 +311,73 @@ object SparkEntry {
          |) / 3.0, 6) AS quality_score FROM $D""".stripMargin) { (s, dir) =>
       QualityScoreEvaluator("text")(t(s, dir, D)).select("doc_id", "quality_score")
     })
+
+  // DuckDB mirror of the reference's MTLD + HD-D
+  // (`lexical_diversity_sample_evaluator.py:13-90`): tokens are lowercased
+  // with string.punctuation stripped; MTLD folds a (factors, token_count,
+  // seen-types, ttr) accumulator forward and backward at threshold 0.72;
+  // HD-D sums per-type hypergeometric contributions at sample size 42 via
+  // the ratio-product form of C(N-42,c)/C(N,c).
+  private val sqlNormToks =
+    s"""list_transform(${sqlWords("text")}, t -> lower(translate(t, '!"#$$%&''()*+,-./:;<=>?@[\\]^_`{|}~', '')))"""
+
+  // MTLD as a recursive CTE over factor segments, all-scalar state: the
+  // greedy boundary of the segment starting at st is the smallest p with
+  // distinct(st..p)/(p-st+1) ≤ 0.72, where distinct(st..p) counts
+  // positions whose previous same-token occurrence (`pv`, precomputed)
+  // lies before st. A list_reduce fold would be the natural shape, but
+  // DuckDB's struct-accumulator reduce both miscomputes late fields and
+  // segfaults at corpus size — the recursion only carries (st, factors).
+  // Literals are CAST to DOUBLE: bare 1.0 infers DECIMAL(2,1) and rounds.
+  private def sqlMtldBoundary(st: String): String =
+    s"""list_min(list_filter(range($st, wc + 1), p ->
+       |  CAST(len(list_filter(range($st, p + 1), q -> pv[q] < $st)) AS DOUBLE)
+       |    / CAST(p - $st + 1 AS DOUBLE) <= 0.72))""".stripMargin
+
+  private def sqlHdd(toks: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_distinct($toks), t ->
+       |  (1.0 - list_reduce(list_prepend(1.0,
+       |      list_transform(range(0, len(list_filter($toks, x -> x = t))),
+       |        i -> (CAST(len($toks) AS DOUBLE) - 42.0 - i) / (CAST(len($toks) AS DOUBLE) - i))),
+       |    (a, b) -> a * b)) / 42.0)), (a, b) -> a + b)""".stripMargin
+
+  private def sqlLexicalDiversity: String =
+    s"""WITH RECURSIVE base AS (SELECT doc_id, $sqlNormToks AS toks,
+       |  ${sqlWordCount("text")} AS wc,
+       |  len(list_distinct(${sqlWords("text")})) AS uc FROM $D),
+       |b2 AS (
+       |  SELECT doc_id, 'f' AS pass, toks AS tk, wc FROM base
+       |  UNION ALL
+       |  SELECT doc_id, 'b' AS pass, list_reverse(toks) AS tk, wc FROM base),
+       |b3 AS (SELECT doc_id, pass, wc,
+       |  list_transform(range(1, wc + 1), p ->
+       |    coalesce(list_max(list_filter(range(1, p), q -> tk[q] = tk[p])), 0)) AS pv
+       |  FROM b2),
+       |segs AS (
+       |  SELECT doc_id, pass, wc, pv, 1 AS st, CAST(0.0 AS DOUBLE) AS factors FROM b3
+       |  UNION ALL
+       |  SELECT doc_id, pass, wc, pv, ${sqlMtldBoundary("st")} + 1 AS st,
+       |    factors + CAST(1.0 AS DOUBLE) AS factors
+       |  FROM segs WHERE ${sqlMtldBoundary("st")} IS NOT NULL),
+       |term AS (
+       |  SELECT doc_id, pass, wc, factors,
+       |    CASE WHEN st > wc THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(len(list_filter(range(st, wc + 1), q -> pv[q] < st)) AS DOUBLE)
+       |           / CAST(wc - st + 1 AS DOUBLE) END AS rt
+       |  FROM segs WHERE ${sqlMtldBoundary("st")} IS NULL),
+       |pass_val AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (factors + (CAST(1.0 AS DOUBLE) - rt) / (1.0 - 0.72)) = 0 THEN -1.0
+       |         ELSE CAST(wc AS DOUBLE) / (factors + (CAST(1.0 AS DOUBLE) - rt) / (1.0 - 0.72)) END AS v
+       |  FROM term),
+       |mtldv AS (SELECT doc_id, round(SUM(v) / 2.0, 6) AS mtld FROM pass_val GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  round(CAST(uc AS DOUBLE) / CAST(wc AS DOUBLE), 6) AS ttr,
+       |  round(CAST(uc AS DOUBLE) / sqrt(CAST(wc AS DOUBLE)), 6) AS rttr,
+       |  CASE WHEN wc > 50 THEN m.mtld ELSE NULL END AS mtld,
+       |  CASE WHEN wc > 50 AND wc < 1000 THEN round(${sqlHdd("toks")}, 6)
+       |       ELSE NULL END AS hdd
+       |FROM base b JOIN mtldv m ON b.doc_id = m.doc_id""".stripMargin
 
   // ---- dataset-level aggregations (§2.6) ----------------------------------
   private def aggs: Map[String, Q] = Map(
@@ -1168,6 +1229,45 @@ object SparkEntry {
           .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("gold")),
             Seq("doc_id"))
         CorpusEvaluators.ciderUnigram(pairs, "pred", "gold", "doc_id")
+    },
+    "eval_cider_d" -> oracled {
+      // full CIDEr-D mirror (`cider/cider.py:10-120`): per-n clipped
+      // tf-idf cosine × gaussian length penalty over bigram-count delta
+      def side(c: String) = (1 to 4).map(k =>
+        s"SELECT doc_id, $k AS n, unnest(${sqlWordNgrams(c, k)}) AS gram FROM pairs")
+        .mkString(" UNION ALL ")
+      s"""WITH pairs AS (
+         |  SELECT a.doc_id, a.text AS pred, b.text AS gold
+         |  FROM $D a JOIN $D b ON b.doc_id = a.doc_id + 1),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM pairs),
+         |pg AS (${side("pred")}),
+         |rg AS (${side("gold")}),
+         |pt AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS DOUBLE) AS tf_p FROM pg GROUP BY doc_id, n, gram),
+         |rt AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS DOUBLE) AS tf_r FROM rg GROUP BY doc_id, n, gram),
+         |j AS (SELECT coalesce(pt.doc_id, rt.doc_id) AS doc_id, coalesce(pt.n, rt.n) AS n,
+         |  coalesce(pt.gram, rt.gram) AS gram, coalesce(tf_p, 0) AS tf_p, coalesce(tf_r, 0) AS tf_r
+         |  FROM pt FULL JOIN rt ON pt.doc_id = rt.doc_id AND pt.n = rt.n AND pt.gram = rt.gram),
+         |dfq AS (SELECT n, gram, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM rt GROUP BY n, gram),
+         |w AS (SELECT j.doc_id, j.n,
+         |  tf_p * (ln((SELECT nd FROM nn)) - ln(greatest(1.0, coalesce(dfreq, 0.0)))) AS wp,
+         |  tf_r * (ln((SELECT nd FROM nn)) - ln(greatest(1.0, coalesce(dfreq, 0.0)))) AS wr
+         |  FROM j LEFT JOIN dfq ON j.n = dfq.n AND j.gram = dfq.gram),
+         |s AS (SELECT doc_id, n, SUM(least(wp, wr) * wr) AS dot,
+         |  sqrt(SUM(wp * wp)) AS np, sqrt(SUM(wr * wr)) AS nr
+         |  FROM w GROUP BY doc_id, n),
+         |lens AS (SELECT doc_id, CAST(greatest(${sqlWordCount("pred")} - 1, 0) AS DOUBLE) AS lp,
+         |  CAST(greatest(${sqlWordCount("gold")} - 1, 0) AS DOUBLE) AS lr FROM pairs),
+         |v AS (SELECT s.doc_id,
+         |  (CASE WHEN np = 0 OR nr = 0 THEN 0.0 ELSE dot / (np * nr) END)
+         |    * exp(-((lp - lr) * (lp - lr)) / 72.0) AS val
+         |  FROM s JOIN lens ON s.doc_id = lens.doc_id)
+         |SELECT doc_id, round(SUM(val) / 4.0 * 10.0, 6) AS cider_d FROM v GROUP BY doc_id""".stripMargin
+    } { (s, dir) =>
+      val d = t(s, dir, D)
+      val pairs = d.select(col("doc_id"), col("text").as("pred"))
+        .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("gold")),
+          Seq("doc_id"))
+      CorpusEvaluators.ciderD(pairs, "pred", "gold", "doc_id")
     },
     "refine_remove_emoticons" -> refineQ(RemoveEmoticonsRefiner("text"),
       s"array_to_string(list_filter(${sqlWords("text")}, w -> NOT list_contains(" +

@@ -48,6 +48,59 @@ object CorpusEvaluators {
       .select(col(idKey), col(outputKey))
   }
 
+  /** Full CIDEr-D (`general_text/eval/cider/cider.py:10-120`): n-grams
+    * 1..4, idf = ln(corpus size) − ln(max(1, df)) with df counted over
+    * the reference side, per-n clipped similarity
+    * Σ min(wp, wr)·wr / (‖wp‖·‖wr‖), a gaussian length penalty
+    * e^(−δ²/2σ²) with σ=6 and δ = bigram-count difference (the
+    * reference's `length` accumulates term frequencies at n==1, i.e.
+    * bigrams), mean over the four n, ×10.
+    *
+    * Same distributed shape as [[ciderUnigram]]: one tagged
+    * explode+aggregate for both tf vectors at every n, a vocab-bounded
+    * broadcast of the df table, re-aggregation per (id, n) then per id —
+    * corpus size never touches the driver. */
+  def ciderD(pairs: DataFrame, predKey: String, refKey: String,
+      idKey: String, outputKey: String = "cider_d",
+      sigma: Double = 6.0): DataFrame = {
+    val nDocs = pairs.count().toDouble
+    val maxN = 4
+    def gramStructs(c: Column): Column =
+      concat((1 to maxN).map(k =>
+        transform(wordNgrams(c, k),
+          g => struct(lit(k).as("n"), g.as("gram")))): _*)
+    val tagged = pairs.select(col(idKey), lit("p").as("side"),
+      explode(gramStructs(col(predKey))).as("ng"))
+      .unionAll(pairs.select(col(idKey), lit("r").as("side"),
+        explode(gramStructs(col(refKey))).as("ng")))
+      .select(col(idKey), col("side"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+    val tf = tagged.groupBy(idKey, "n", "gram").agg(
+      sum(when(col("side") === "p", 1).otherwise(0)).as("tf_p"),
+      sum(when(col("side") === "r", 1).otherwise(0)).as("tf_r"))
+    val dfq = tf.filter(col("tf_r") > 0)
+      .groupBy("n", "gram").agg(count(lit(1)).as("dfreq"))
+    val w = tf.join(broadcast(dfq), Seq("n", "gram"), "left")
+      .withColumn("idfw",
+        lit(math.log(nDocs)) - log(greatest(lit(1.0), coalesce(col("dfreq"), lit(0.0)))))
+      .withColumn("wp", col("tf_p") * col("idfw"))
+      .withColumn("wr", col("tf_r") * col("idfw"))
+    val perN = w.groupBy(idKey, "n").agg(
+      sum(least(col("wp"), col("wr")) * col("wr")).as("dot"),
+      sqrt(sum(col("wp") * col("wp"))).as("np"),
+      sqrt(sum(col("wr") * col("wr"))).as("nr"))
+    val lens = pairs.select(col(idKey),
+      greatest(wordCount(col(predKey)) - 1, lit(0)).cast("double").as("lp"),
+      greatest(wordCount(col(refKey)) - 1, lit(0)).cast("double").as("lr"))
+    val delta = col("lp") - col("lr")
+    val penalty = exp(-(delta * delta) / lit(2.0 * sigma * sigma))
+    val valN = perN.join(lens, Seq(idKey))
+      .withColumn("val",
+        when(col("np") === 0 || col("nr") === 0, 0.0)
+          .otherwise(col("dot") / (col("np") * col("nr"))) * penalty)
+    valN.groupBy(idKey)
+      .agg(round(sum(col("val")) / maxN * 10.0, 6).as(outputKey))
+  }
+
   /** MMD² with RBF kernel between two embedding sets
     * (`text_sft/eval/mmd_dataset_evaluator.py:14`) — driver-side over
     * collected vectors (deterministic summation order; sample-capped). */

@@ -16,9 +16,14 @@ final case class NgramSampleEvaluator(inputKey: String = "text", n: Int = 5,
     Seq(outputKey -> round(ngramUniqueRatio(col(inputKey), n), 6))
 }
 
-/** Lexical diversity: TTR (type-token ratio) and root-TTR — the
-  * deterministic core of MTLD/HDD
-  * (`lexical_diversity_sample_evaluator.py:93-144`). */
+/** Lexical diversity: TTR / root-TTR plus the reference's full MTLD and
+  * HD-D metrics (`lexical_diversity_sample_evaluator.py:13-90`).
+  * MTLD: average of forward and backward factor counts at TTR threshold
+  * 0.72; HD-D: hypergeometric contribution per type at sample size 42,
+  * computed via the ratio-product form of C(N-42,c)/C(N,c) (same real
+  * value as the reference's factorial quotients, numerically stable).
+  * Reference gates: MTLD needs > 50 words, HD-D needs 50 < n < 1000 —
+  * null outside. */
 final case class LexicalDiversitySampleEvaluator(inputKey: String = "text")
     extends EvalOp {
   val name = "lexical_diversity_sample_evaluator"
@@ -26,7 +31,59 @@ final case class LexicalDiversitySampleEvaluator(inputKey: String = "text")
   def scores: Seq[(String, Column)] = {
     val n = wordCount(col(inputKey)).cast("double")
     val u = uniqueWordCount(col(inputKey)).cast("double")
-    Seq("ttr" -> round(u / n, 6), "rttr" -> round(u / sqrt(n), 6))
+    Seq("ttr" -> round(u / n, 6), "rttr" -> round(u / sqrt(n), 6),
+      "mtld" -> round(LexicalDiversity.mtldUdf(words(col(inputKey))), 6),
+      "hdd" -> round(LexicalDiversity.hddUdf(words(col(inputKey))), 6))
+  }
+}
+
+object LexicalDiversity {
+  private val punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".toSet
+  private def norm(t: String): String =
+    t.filterNot(punct.contains).toLowerCase
+
+  private def mtldCalc(ws: Array[String], thr: Double): Double = {
+    var factors = 0.0
+    var tokenCount = 0
+    val types = scala.collection.mutable.HashSet.empty[String]
+    var ttr = 1.0
+    var i = 0
+    while (i < ws.length) {
+      tokenCount += 1
+      types.add(ws(i))
+      ttr = types.size.toDouble / tokenCount
+      if (ttr <= thr) { factors += 1.0; tokenCount = 0; types.clear(); ttr = 1.0 }
+      i += 1
+    }
+    factors += (1.0 - ttr) / (1.0 - thr)
+    if (factors != 0) ws.length / factors else -1.0
+  }
+
+  val mtldUdf = udf { ws: Seq[String] =>
+    if (ws == null || ws.length <= 50) None
+    else {
+      val n = ws.iterator.map(norm).toArray
+      Some((mtldCalc(n, 0.72) + mtldCalc(n.reverse, 0.72)) / 2.0)
+    }
+  }
+
+  val hddUdf = udf { ws: Seq[String] =>
+    if (ws == null || ws.length <= 50 || ws.length >= 1000) None
+    else {
+      val toks = ws.iterator.map(norm).toArray
+      val n = toks.length
+      // first-appearance order — matches the SQL oracle's summation order
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      toks.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+      var s = 0.0
+      counts.valuesIterator.foreach { c =>
+        var prod = 1.0
+        var i = 0
+        while (i < c) { prod *= (n - 42.0 - i) / (n - i); i += 1 }
+        s += (1.0 - prod) / 42.0
+      }
+      Some(s)
+    }
   }
 }
 
