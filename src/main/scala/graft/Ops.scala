@@ -131,7 +131,16 @@ object Ops {
       "code_encoded_data_filter" -> (p => graft.ops.code.CodeEncodedDataFilter(key(p), i(p, "max_blob", 64))),
       "code_text_composition_filter" -> (p => graft.ops.code.CodeTextCompositionFilter(key(p), d(p, "min_alnum_ratio", 0.25))),
       "code_auto_generated_filter" -> (p => graft.ops.code.CodeAutoGeneratedFilter(key(p))),
-      "minhash_lsh_mllib_deduplicate_filter" -> (p => MinHashLSHDeduplicateFilter(key(p), p.getOrElse("order_key", "doc_id"))))
+      "minhash_lsh_mllib_deduplicate_filter" -> (p => MinHashLSHDeduplicateFilter(key(p), p.getOrElse("order_key", "doc_id"))),
+      "scenario_extract_generator" -> (p => graft.ops.conversations.ScenarioExtractGenerator(p.getOrElse("chat_key", "chat"), Registry.serving(p))),
+      "scenario_expand_generator" -> (p => graft.ops.conversations.ScenarioExpandGenerator(p.getOrElse("scenario_key", "scenario"), Registry.serving(p))),
+      "atom_task_generator" -> (p => graft.ops.conversations.AtomTaskGenerator(p.getOrElse("scenario_key", "scenario"), Registry.serving(p))),
+      "sequential_task_generator" -> (p => graft.ops.conversations.SequentialTaskGenerator(p.getOrElse("task_key", "atom_task"), Registry.serving(p))),
+      "para_seq_task_generator" -> (p => graft.ops.conversations.ParaSeqTaskGenerator(p.getOrElse("task_key", "atom_task"), Registry.serving(p))),
+      "function_generator" -> (p => graft.ops.conversations.FunctionGenerator(p.getOrElse("composition_key", "composition_task"), p.getOrElse("sub_task_keys", "").split(',').filter(_.nonEmpty).toSeq, Registry.serving(p))),
+      "multi_turn_conversation_generator" -> (p => graft.ops.conversations.MultiTurnConversationGenerator(p.getOrElse("task_key", "atom_task"), p.getOrElse("sub_task_keys", "").split(',').filter(_.nonEmpty).toSeq, p.getOrElse("functions_key", "functions"), Registry.serving(p), maxTurns = i(p, "max_turns", 5))),
+      "prompted_vqa_generator" -> (p => graft.ops.multimodal.PromptedVQAGenerator(p.getOrElse("input_key", "payload"), p.getOrElse("question_key", "question"), p.getOrElse("output_key", "answer"), Registry.serving(p))),
+      "reasoning_question_fusion_generator" -> (p => graft.ops.reasoning.ReasoningQuestionFusionGenerator(p.getOrElse("problem_1_key", "problem_1"), p.getOrElse("problem_2_key", "problem_2"), Registry.serving(p), numPrompts = i(p, "num_prompts", 1), style = p.getOrElse("style", "parallel"))))
     entries.foreach { case (n, f) => Registry.register(n)(f) }
   }
 }

@@ -915,6 +915,15 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(" ", col("sampled_frames")).as("sampled_frames"))
     },
+    "mm_vqa" -> oracled(
+      s"""SELECT doc_id, 'echo[VQA]:' || base64(encode(text)) || ' <Q> what is '
+         |  || doc_id AS answer FROM $D""".stripMargin) { (s, dir) =>
+      PromptedVQAGenerator("payload", "question", "answer", mock)(
+        t(s, dir, D)
+          .withColumn("payload", col("text").cast("binary"))
+          .withColumn("question", concat(lit("what is "), col("doc_id"))))
+        .select("doc_id", "answer")
+    },
     "mm_speech2text" -> oracled(
       s"SELECT doc_id, 'echo[ASR]:' || base64(encode(text)) AS transcript FROM $D") {
       (s, dir) =>
@@ -1040,6 +1049,92 @@ object SparkEntry {
       ConversationStatsEvaluator()(conv)
         .select("doc_id", "n_turns", "n_user_turns", "total_content_chars")
     },
+    "conv_scenario_chain" -> oracled(
+      // ScenarioExtract → ScenarioExpand → AtomTask, the first three ops
+      // of the 7-op func-call chain (`func_call_generators.py:26-191`)
+      s"""SELECT doc_id, 'echo[SCENARIO]:' || text AS scenario,
+         |  'echo[EXPAND]:echo[SCENARIO]:' || text AS modified_scenario,
+         |  'echo[ATOM]:echo[SCENARIO]:' || text AS atom_task
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val s1 = ScenarioExtractGenerator("text", mock)(t(s, dir, D))
+      val s2 = ScenarioExpandGenerator("scenario", mock)(s1)
+      AtomTaskGenerator("scenario", mock)(s2)
+        .select("doc_id", "scenario", "modified_scenario", "atom_task")
+    },
+    "conv_seq_task" -> oracled(
+      // section parsing of "### Subsequent Task:" / "### Composition
+      // Task:" (`func_call_generators.py:243-256`) — the crafted task
+      // carries the sections through the echo
+      s"""SELECT doc_id, 'sub-' || doc_id AS subsequent_task,
+         |  'comp-' || doc_id AS composition_task FROM $D""".stripMargin) {
+      (s, dir) =>
+        val withTask = t(s, dir, D).withColumn("atom_task",
+          concat(lit("### Subsequent Task: sub-"), col("doc_id"),
+            lit("\n### Composition Task: comp-"), col("doc_id")))
+        SequentialTaskGenerator("atom_task", mock)(withTask)
+          .select("doc_id", "subsequent_task", "composition_task")
+    },
+    "conv_paraseq_task" -> oracled(
+      s"""SELECT doc_id, 'par-' || doc_id AS parallel_task,
+         |  'sub-' || doc_id AS subsequent_task,
+         |  'comp-' || doc_id AS composition_task FROM $D""".stripMargin) {
+      (s, dir) =>
+        val withTask = t(s, dir, D).withColumn("atom_task",
+          concat(lit("### Parallel Task: par-"), col("doc_id"),
+            lit("\n### Subsequent Task: sub-"), col("doc_id"),
+            lit("\n### Composition Task: comp-"), col("doc_id")))
+        ParaSeqTaskGenerator("atom_task", mock)(withTask)
+          .select("doc_id", "parallel_task", "subsequent_task", "composition_task")
+    },
+    "conv_function_gen" -> oracled(
+      s"""SELECT doc_id,
+         |  'echo[FUNCGEN]:comp-' || doc_id || ' <SUB> ' || text AS functions
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val withCols = t(s, dir, D)
+        .withColumn("composition_task", concat(lit("comp-"), col("doc_id")))
+      FunctionGenerator("composition_task", Seq("text"), mock)(withCols)
+        .select("doc_id", "functions")
+    },
+    "conv_multiturn" -> oracled(
+      // multi-turn loop (`func_call_generators.py:479-540`): even rows'
+      // task carries <final> → dialog completes after the assistant turn;
+      // odd rows' <func_call> is answered by the tool agent
+      s"""WITH b AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'do <final>done</final> task ' || doc_id
+         |       ELSE 'call <func_call>f' || doc_id || '</func_call> now' END AS task,
+         |  'fn-' || doc_id AS fns FROM $D),
+         |p AS (SELECT doc_id, task || ' <SUB> ' || fns AS seed FROM b)
+         |SELECT doc_id, CASE WHEN doc_id % 2 = 0
+         |  THEN 'user: echo[USERGEN]:' || seed || chr(10) ||
+         |       'assistant: echo[ASSIST]:user: echo[USERGEN]:' || seed
+         |  ELSE 'user: echo[USERGEN]:' || seed || chr(10) ||
+         |       'assistant: echo[ASSIST]:user: echo[USERGEN]:' || seed || chr(10) ||
+         |       'tool: echo[TOOL]:f' || doc_id
+         |END AS conv_text FROM p""".stripMargin) { (s, dir) =>
+      val withCols = t(s, dir, D)
+        .withColumn("task",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("do <final>done</final> task "), col("doc_id")))
+            .otherwise(concat(lit("call <func_call>f"), col("doc_id"),
+              lit("</func_call> now"))))
+        .withColumn("functions", concat(lit("fn-"), col("doc_id")))
+      MultiTurnConversationGenerator("task", Seq(), "functions", mock,
+        maxTurns = 1)(withCols)
+        .select(col("doc_id"),
+          concat_ws("\n", transform(col("conversations"),
+            x => concat(x("role"), lit(": "), x("content")))).as("conv_text"))
+    },
+    "gen_question_fusion" -> oracled(
+      s"""SELECT doc_id,
+         |  'echo[FUSION:parallel]:' || text || ' <FUSE> alt ' || doc_id || '#0' AS fused_question_0,
+         |  'echo[FUSION:parallel]:' || text || ' <FUSE> alt ' || doc_id || '#1' AS fused_question_1
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val withP2 = t(s, dir, D)
+        .withColumn("problem_2", concat(lit("alt "), col("doc_id")))
+      ReasoningQuestionFusionGenerator("text", "problem_2", mock,
+        numPrompts = 2)(withP2)
+        .select("doc_id", "fused_question_0", "fused_question_1")
+    },
     "gen_funccall_chain" -> oracled(
       s"""SELECT doc_id, 'echo[SCENARIO]:' || text AS scenario,
          |  'echo[ATOM]:echo[SCENARIO]:' || text AS atom_task,
@@ -1064,6 +1159,79 @@ object SparkEntry {
         WordNumberFilter("text", 10, Int.MaxValue),
         HashDeduplicateFilter(Seq("text"), "doc_id"))
       p(t(s, dir, D)).select("doc_id", "n_chars")
+    },
+    "gen_retrieval" -> oracled {
+      // RAG chain: mock-embed 3 query docs + a 50-doc corpus, cosine
+      // top-1 context (self excluded), answer = LLM(context <SEP> query)
+      val emb = (c: String) => s"""list_transform(range(0, 16),
+        | i -> CAST((('0x' || substr(md5($c), 1, 8))::BIGINT + 31*i) % 1000 AS DOUBLE) / 1000.0)""".stripMargin
+      s"""WITH corpus AS (SELECT doc_id, text, ${emb("text")} AS e FROM $D WHERE doc_id < 50),
+         |queries AS (SELECT doc_id, text, e FROM corpus WHERE doc_id < 3),
+         |scored AS (SELECT q.doc_id AS qid, c.doc_id AS cid, c.text AS ctx,
+         |    ${sqlCosine("q.e", "c.e", 16)} AS cos
+         |  FROM queries q, corpus c WHERE c.doc_id <> q.doc_id),
+         |ranked AS (SELECT qid, ctx,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT q.doc_id, 'echo[RAG]:' || r.ctx || ' <SEP> ' || q.text AS answer
+         |FROM queries q JOIN ranked r ON r.qid = q.doc_id AND r.rnk = 1""".stripMargin
+    } { (s, dir) =>
+      val corpus = t(s, dir, D).filter(col("doc_id") < 50)
+      val queries = corpus.filter(col("doc_id") < 3)
+      RetrievalGenerator("text", "answer", corpus, "text", "doc_id", mock, k = 1)(
+        queries).select("doc_id", "answer")
+    },
+    "kbc_chunks_semantic" -> oracled(
+      // embedding-boundary chunking: mock sentence embeddings, boundary
+      // where adjacent cosine < 0.75, chunks re-joined '. ' in order
+      s"""WITH c AS (SELECT doc_id, translate(text, ' ', '.') AS t FROM $D),
+         |s AS (SELECT doc_id, unnest(list_filter(list_transform(
+         |    regexp_split_to_array(t, '[.!?]+'), x -> trim(x)), x -> x <> ''))
+         |    AS sent, generate_subscripts(list_filter(list_transform(
+         |    regexp_split_to_array(t, '[.!?]+'), x -> trim(x)), x -> x <> ''), 1) - 1 AS sp
+         |  FROM c),
+         |e AS (SELECT doc_id, sp, sent, list_transform(range(0, 16),
+         |    i -> CAST((('0x' || substr(md5(sent), 1, 8))::BIGINT + 31*i) % 1000 AS DOUBLE) / 1000.0) AS emb
+         |  FROM s),
+         |b AS (SELECT doc_id, sp, sent, emb,
+         |    lag(emb) OVER (PARTITION BY doc_id ORDER BY sp) AS prev FROM e),
+         |f AS (SELECT doc_id, sp, sent,
+         |    CASE WHEN prev IS NULL THEN 1
+         |         WHEN ${sqlCosine("prev", "emb", 16)} < 0.75 THEN 1 ELSE 0 END AS bd
+         |  FROM b),
+         |g AS (SELECT doc_id, sp, sent,
+         |    SUM(bd) OVER (PARTITION BY doc_id ORDER BY sp) AS grp FROM f),
+         |ch AS (SELECT doc_id, grp, MIN(sp) AS first_sp,
+         |    string_agg(sent, '. ' ORDER BY sp) AS raw_chunk
+         |  FROM g GROUP BY doc_id, grp)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY first_sp) - 1 AS INT) AS pos,
+         |  raw_chunk
+         |FROM ch""".stripMargin) { (s, dir) =>
+      ChunkSplitter("text", "doc_id", mode = "semantic",
+        serving = Some(mock), simThreshold = 0.75)(
+        t(s, dir, D).withColumn("text", translate(col("text"), " ", ".")))
+    },
+    "kbc_chunks_merged" -> oracled(
+      // token chunks at 20 with min 12: every full window stands alone,
+      // a short tail (< 12 tokens) merges backward into the previous
+      // chunk — the reference's min_tokens_per_chunk behavior
+      s"""WITH c AS (SELECT doc_id, ${sqlWords("text")} AS ws,
+         |  CAST(${sqlWordCount("text")} AS INT) AS wc FROM $D),
+         |m AS (SELECT doc_id, ws, wc,
+         |  CAST(greatest(ceil(CAST(wc AS DOUBLE) / 20.0), 1) AS INT) AS n0,
+         |  CASE WHEN wc % 20 BETWEEN 1 AND 11
+         |        AND CAST(greatest(ceil(CAST(wc AS DOUBLE) / 20.0), 1) AS INT) > 1
+         |       THEN CAST(greatest(ceil(CAST(wc AS DOUBLE) / 20.0), 1) AS INT) - 1
+         |       ELSE CAST(greatest(ceil(CAST(wc AS DOUBLE) / 20.0), 1) AS INT) END AS m
+         |  FROM c)
+         |SELECT doc_id, CAST(i AS INT) AS pos,
+         |  CASE WHEN i < m - 1
+         |       THEN array_to_string(list_slice(ws, i*20 + 1, i*20 + 20), ' ')
+         |       ELSE array_to_string(list_slice(ws, i*20 + 1, wc), ' ') END AS raw_chunk
+         |FROM m, unnest(range(0, m)) u(i)""".stripMargin) { (s, dir) =>
+      ChunkSplitter("text", "doc_id", mode = "token", chunkSize = 20,
+        minChunkTokens = 12)(t(s, dir, D))
     },
     "kbc_chunks_sentence" -> oracled(
       // sentence-mode chunking (spaces → '.' first so sentences exist)

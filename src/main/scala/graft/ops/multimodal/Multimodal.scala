@@ -118,3 +118,24 @@ final case class FrameSampler(framesKey: String = "frames", every: Int = 10)
     df.withColumn("sampled_frames",
       filter(col(framesKey), (_, i) => i % every === 0))
 }
+
+/** Visual question answering over binary image payloads
+  * (`core_vision/generate/prompted_vqa_generator.py:9-60`): the image
+  * rides base64-encoded next to the question through the same
+  * mapPartitions serving bridge as Speech2Text — one narrow pass, no
+  * shuffle, VLM concurrency bounded per executor. */
+final case class PromptedVQAGenerator(binKey: String = "payload",
+    questionKey: String = "question", outputKey: String = "answer",
+    serving: graft.serving.ServingClient,
+    systemPrompt: String = "VQA") extends Op {
+  val name = "prompted_vqa_generator"
+  val inputKeys = Seq(binKey, questionKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame = {
+    val prompted = df.withColumn("__p",
+      concat(regexp_replace(base64(col(binKey)), "[\\r\\n]", ""),
+        lit(" <Q> "), col(questionKey)))
+    graft.serving.LLMMap.generated(prompted, "__p", outputKey, serving, systemPrompt)
+      .drop("__p")
+  }
+}

@@ -135,3 +135,25 @@ final case class PseudoAnswerGenerator(questionKey: String,
       (d, i) => d.drop(s"__a$i"))
   }
 }
+
+/** Question fusion: synthesize new questions from pairs of existing ones
+  * (`reasoning/generate/reasoning_question_fusion_generator.py:20-111`):
+  * per fusion style (parallel/sequential/condition prompt templates) and
+  * per sample index i, one LLM map over the (problem_1, problem_2) pair →
+  * `<outputKey>_question_<i>` columns. */
+final case class ReasoningQuestionFusionGenerator(problem1Key: String,
+    problem2Key: String, serving: graft.serving.ServingClient,
+    outputKey: String = "fused", numPrompts: Int = 1,
+    style: String = "parallel") extends graft.core.Op {
+  require(numPrompts >= 1 && numPrompts <= 5, "numPrompts must be in 1..5")
+  val name = "reasoning_question_fusion_generator"
+  val inputKeys = Seq(problem1Key, problem2Key)
+  val outputKeys = (0 until numPrompts).map(i => s"${outputKey}_question_$i")
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    (0 until numPrompts).foldLeft(df) { (d, i) =>
+      val p = d.withColumn("__p",
+        concat(col(problem1Key), lit(" <FUSE> "), col(problem2Key), lit(s"#$i")))
+      LLMMap.generated(p, "__p", s"${outputKey}_question_$i", serving,
+        s"FUSION:$style").drop("__p")
+    }
+}
