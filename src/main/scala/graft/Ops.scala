@@ -140,7 +140,17 @@ object Ops {
       "function_generator" -> (p => graft.ops.conversations.FunctionGenerator(p.getOrElse("composition_key", "composition_task"), p.getOrElse("sub_task_keys", "").split(',').filter(_.nonEmpty).toSeq, Registry.serving(p))),
       "multi_turn_conversation_generator" -> (p => graft.ops.conversations.MultiTurnConversationGenerator(p.getOrElse("task_key", "atom_task"), p.getOrElse("sub_task_keys", "").split(',').filter(_.nonEmpty).toSeq, p.getOrElse("functions_key", "functions"), Registry.serving(p), maxTurns = i(p, "max_turns", 5))),
       "prompted_vqa_generator" -> (p => graft.ops.multimodal.PromptedVQAGenerator(p.getOrElse("input_key", "payload"), p.getOrElse("question_key", "question"), p.getOrElse("output_key", "answer"), Registry.serving(p))),
-      "reasoning_question_fusion_generator" -> (p => graft.ops.reasoning.ReasoningQuestionFusionGenerator(p.getOrElse("problem_1_key", "problem_1"), p.getOrElse("problem_2_key", "problem_2"), Registry.serving(p), numPrompts = i(p, "num_prompts", 1), style = p.getOrElse("style", "parallel"))))
+      "reasoning_question_fusion_generator" -> (p => graft.ops.reasoning.ReasoningQuestionFusionGenerator(p.getOrElse("problem_1_key", "problem_1"), p.getOrElse("problem_2_key", "problem_2"), Registry.serving(p), numPrompts = i(p, "num_prompts", 1), style = p.getOrElse("style", "parallel"))),
+      "spider_hardness_classifier" -> (p => graft.ops.text2sql.SpiderHardnessClassifier(p.getOrElse("input_key", "sql"))),
+      "code_document_quality_filter" -> (p => graft.ops.code.CodeDocumentQualityFilter(key(p))),
+      "code_file_type_content_filter" -> (p => graft.ops.code.CodeFileTypeContentFilter(key(p), p.getOrElse("file_type_key", "file_type"), p.getOrElse("file_name_key", "file_name"), i(p, "max_lines", 512))),
+      "code_quality_score_filter" -> (p => graft.ops.code.CodeQualityScoreFilter(key(p), Registry.scorer(p), d(p, "min_score", 1.0), d(p, "max_score", 10000.0))),
+      "code_score_filter" -> (p => graft.ops.code.CodeGenericScoreFilter(key(p), Registry.scorer(p), d(p, "min_score", 0.0), d(p, "max_score", 10000.0))),
+      "code_sandbox_sample_evaluator" -> (p => graft.ops.code.CodeSandboxSampleEvaluator(p.getOrElse("input_key", "generated_code"), timeoutSec = i(p, "timeout_sec", 15))),
+      "llm_language_filter" -> (p => graft.ops.gen.LLMLanguageFilter(key(p), Registry.serving(p), p.getOrElse("allowed", "en").split(',').toSeq)),
+      "reasoning_question_category_sample_evaluator" -> (p => graft.ops.reasoning.ReasoningCategorySampleEvaluator(p.getOrElse("input_key", "instruction"), Registry.serving(p))),
+      "reasoning_question_difficulty_sample_evaluator" -> (p => graft.ops.reasoning.ReasoningDifficultySampleEvaluator(p.getOrElse("input_key", "instruction"), Registry.serving(p))),
+      "reasoning_question_solvable_sample_evaluator" -> (p => graft.ops.reasoning.ReasoningSolvableSampleEvaluator(p.getOrElse("input_key", "instruction"), Registry.serving(p))))
     entries.foreach { case (n, f) => Registry.register(n)(f) }
   }
 }

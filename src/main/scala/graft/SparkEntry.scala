@@ -56,7 +56,7 @@ object SparkEntry {
 
   private lazy val registry: Map[String, Q] = relational ++ filters ++ dedups ++
     refiners ++ evals ++ aggs ++ filters2 ++ refiners2 ++ misc ++ serving ++
-    text2sql ++ advanced ++ corpus ++ domain ++ codeq ++ modelScored
+    text2sql ++ advanced ++ corpus ++ domain ++ codeq ++ modelScored ++ extras2
 
   // ---- relational / TPC-H-ish bench surface -------------------------------
   private def relational: Map[String, Q] = Map(
@@ -1619,6 +1619,97 @@ object SparkEntry {
       s"SELECT doc_id, $sqlMockScore AS model_score FROM $D") { (s, dir) =>
       ModelScoreEvaluator("text", mockScorer, "model_score")(t(s, dir, D))
         .select("doc_id", "model_score")
+    })
+
+  // ---- round-2 coverage extensions: spider classifier, code ops,
+  // ---- LLM language filter, reasoning LLM evaluators ----------------------
+  private def extras2: Map[String, Q] = Map(
+    "t2s_classify_spider" -> oracled(
+      // six structural variants with Spider-hardness ground truth — the
+      // oracle pins expected labels per variant rather than re-deriving
+      // them, so it checks the classifier's DECISIONS, not its regexes
+      s"""SELECT doc_id, CASE doc_id % 6
+         |  WHEN 0 THEN 'easy' WHEN 1 THEN 'easy' WHEN 2 THEN 'medium'
+         |  WHEN 3 THEN 'hard' WHEN 4 THEN 'hard' ELSE 'extra' END AS hardness
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val sql = when(col("doc_id") % 6 === 0, lit("SELECT a FROM t"))
+        .when(col("doc_id") % 6 === 1, lit("SELECT a FROM t WHERE x > 0"))
+        .when(col("doc_id") % 6 === 2,
+          lit("SELECT a, b FROM t WHERE x > 0 AND y < 2"))
+        .when(col("doc_id") % 6 === 3,
+          lit("SELECT a FROM t JOIN u ON t.id = u.id WHERE x > 0 ORDER BY a"))
+        .when(col("doc_id") % 6 === 4,
+          lit("SELECT a FROM t WHERE x IN (SELECT y FROM u)"))
+        .otherwise(lit("SELECT a, count(b), sum(c) FROM t JOIN u ON 1=1 JOIN v ON 1=1 " +
+          "WHERE x > 0 OR y < 2 GROUP BY a ORDER BY a LIMIT 5"))
+      SpiderHardnessClassifier("sql")(t(s, dir, D).withColumn("sql", sql))
+        .select("doc_id", "hardness")
+    },
+    "filter_code_doc_quality" -> oracled(
+      s"""SELECT doc_id, n_chars FROM $D
+         |WHERE ${sqlWordCount("text")} BETWEEN 40 AND 100000
+         |  AND CAST(len(list_filter(${sqlWords("text")}, w -> upper(w) = w AND lower(w) <> w)) AS DOUBLE) /
+         |      CAST(greatest(${sqlWordCount("text")}, 1) AS DOUBLE) <= 0.3""".stripMargin) {
+      (s, dir) =>
+        // curly/dup-line/entropy terms are non-selective on this corpus
+        // (single-line brace-free text) but still evaluated
+        graft.ops.code.CodeDocumentQualityFilter("text", minWords = 40,
+          maxFracAllCapsWords = 0.3, minEntropyUnigram = 0.5)(t(s, dir, D))
+          .select("doc_id", "n_chars")
+    },
+    "filter_code_file_type" -> oracled(
+      s"""SELECT doc_id, n_chars FROM $D
+         |WHERE NOT (doc_id % 3 = 0 AND doc_id % 2 = 1)""".stripMargin) { (s, dir) =>
+      // type cycles text/json/scala; text files need a doc-style name
+      val df = t(s, dir, D)
+        .withColumn("file_type",
+          when(col("doc_id") % 3 === 0, "text")
+            .when(col("doc_id") % 3 === 1, "json").otherwise("scala"))
+        .withColumn("file_name",
+          when(col("doc_id") % 2 === 0, "README.md").otherwise("notes.md"))
+      graft.ops.code.CodeFileTypeContentFilter("text", "file_type", "file_name")(df)
+        .select("doc_id", "n_chars")
+    },
+    "filter_code_quality_score" -> oracled(
+      s"""SELECT doc_id, CAST(length(text) % 100 AS DOUBLE) / 10.0 AS code_quality_score
+         |FROM $D WHERE CAST(length(text) % 100 AS DOUBLE) / 10.0 BETWEEN 2.0 AND 8.0""".stripMargin) {
+      (s, dir) =>
+        graft.ops.code.CodeQualityScoreFilter("text", mockScorer, minScore = 2.0, maxScore = 8.0)(
+          t(s, dir, D)).select("doc_id", "code_quality_score")
+    },
+    "eval_code_sandbox" -> oracled(
+      s"""SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'PASS' ELSE 'FAIL' END AS sandbox_status
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D).withColumn("generated_code",
+        when(col("doc_id") % 2 === 0, lit("run ok")).otherwise(lit("fail now")))
+      graft.ops.code.CodeSandboxSampleEvaluator("generated_code")(df)
+        .select("doc_id", "sandbox_status")
+    },
+    "filter_llm_language" -> oracled(
+      s"SELECT doc_id, n_chars FROM $D WHERE lang IN ('en', 'fr')") { (s, dir) =>
+      LLMLanguageFilter("lang", mock, Seq("en", "fr"))(t(s, dir, D))
+        .select("doc_id", "n_chars")
+    },
+    "eval_reasoning_category" -> oracled(
+      s"""SELECT doc_id, 'cat-' || (doc_id % 4) AS question_category FROM $D""") {
+      (s, dir) =>
+        val df = t(s, dir, D).withColumn("instruction",
+          concat(lit("{\"category\": \"cat-"), col("doc_id") % 4, lit("\"}")))
+        ReasoningCategorySampleEvaluator("instruction", mock)(df)
+          .select("doc_id", "question_category")
+    },
+    "eval_reasoning_difficulty" -> oracled(
+      s"SELECT doc_id, CAST(doc_id % 10 AS DOUBLE) AS difficulty_score FROM $D") {
+      (s, dir) =>
+        val df = t(s, dir, D).withColumn("instruction",
+          concat(lit("Rating: "), col("doc_id") % 10))
+        ReasoningDifficultySampleEvaluator("instruction", mock)(df)
+          .select("doc_id", "difficulty_score")
+    },
+    "eval_reasoning_solvable" -> oracled(
+      s"SELECT doc_id, length(text) % 2 = 0 AS solvable FROM $D") { (s, dir) =>
+      ReasoningSolvableSampleEvaluator("text", mock)(t(s, dir, D))
+        .select("doc_id", "solvable")
     })
 
   /** DuckDB QA-F1 token normalization (matches QAF1SampleEvaluator.norm). */

@@ -1,0 +1,173 @@
+package graft.ops.code
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{FilterOp, Op}
+import graft.functions.text._
+import graft.serving.Scorer
+
+/** Rule-bundle document-quality filter for code-adjacent text
+  * (`code/filter/code_doc_quality_filter.py:15-270`): a battery of
+  * cheap statistics, each bounded by a threshold — ALL must pass. The
+  * representative subset here covers chars, words, duplicate-line
+  * fraction, curly-bracket fraction, all-caps fraction and unigram
+  * entropy; every term is a pure Column expression (codegen, no UDF). */
+final case class CodeDocumentQualityFilter(inputKey: String = "code",
+    minChars: Int = 1, maxChars: Int = 1000000,
+    minWords: Int = 1, maxWords: Int = 100000,
+    maxFracDuplicateLines: Double = 0.3,
+    maxFracCurlyBracket: Double = 0.1,
+    maxFracAllCapsWords: Double = 0.3,
+    minEntropyUnigram: Double = 1.0) extends FilterOp {
+  val name = "code_document_quality_filter"
+  val inputKeys = Seq(inputKey)
+
+  private def c = col(inputKey)
+  private def ls = lines(c)
+  private def ws = words(c)
+
+  /** Shannon entropy of the character unigram distribution, computed
+    * over the distinct characters via array ops. */
+  private def entropy: Column = {
+    val chars = split(c, "")
+    val n = size(chars).cast("double")
+    val distinctChars = array_distinct(chars)
+    val terms = transform(distinctChars, ch => {
+      val p = size(filter(chars, x => x === ch)).cast("double") / n
+      -p * log(p)
+    })
+    aggregate(terms, lit(0.0), (acc, x) => acc + x)
+  }
+
+  def predicate: Column = {
+    val nChars = length(c)
+    val nWords = size(ws)
+    val dupLines = lit(1.0) -
+      size(array_distinct(ls)).cast("double") / size(ls).cast("double")
+    val curly = (length(c) - length(translate(c, "{}", ""))).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+    val caps = size(filter(ws, w => upper(w) === w && lower(w) =!= w)).cast("double") /
+      greatest(size(ws), lit(1)).cast("double")
+    nChars.between(minChars, maxChars) &&
+      nWords.between(minWords, maxWords) &&
+      dupLines <= maxFracDuplicateLines &&
+      curly <= maxFracCurlyBracket &&
+      caps <= maxFracAllCapsWords &&
+      entropy >= minEntropyUnigram
+  }
+}
+
+/** File-type-aware content filter
+  * (`code/filter/code_file_type_content_filter.py:10-80`): Text/JSON/
+  * YAML files above the line cap are dropped, text files need a
+  * documentation-style filename, other types pass. */
+final case class CodeFileTypeContentFilter(inputKey: String = "code",
+    fileTypeKey: String = "file_type", fileNameKey: String = "file_name",
+    maxLines: Int = 512) extends FilterOp {
+  val name = "code_file_type_content_filter"
+  val inputKeys = Seq(inputKey, fileTypeKey, fileNameKey)
+  private val sizeCheck = Seq("text", "json", "yaml")
+  private val validTextNames = Seq("readme", "license", "changelog", "notice",
+    "contributing", "authors", "install", "news", "todo")
+  def predicate: Column = {
+    val ft = lower(col(fileTypeKey))
+    val base = lower(regexp_extract(col(fileNameKey), "([^/]+?)(\\.[^./]*)?$", 1))
+    val lineCap = size(lines(col(inputKey))) <= maxLines
+    val nameOk = base.isin(validTextNames: _*)
+    when(ft.isin(sizeCheck: _*), lineCap && (ft =!= "text" || nameOk))
+      .otherwise(lit(true))
+  }
+}
+
+/** Model-scored code-quality filter (`code/filter/code_quality_score_filter.py`):
+  * keep min ≤ score ≤ max through the [[Scorer]] seam. */
+final case class CodeQualityScoreFilter(inputKey: String, scorer: Scorer,
+    minScore: Double = 1.0, maxScore: Double = 10000.0,
+    scoreKey: String = "code_quality_score") extends Op {
+  val name = "code_quality_score_filter"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(scoreKey)
+  def apply(df: DataFrame): DataFrame =
+    graft.serving.LLMMap.scored(df, inputKey, scoreKey, scorer)
+      .filter(col(scoreKey) >= minScore && col(scoreKey) <= maxScore)
+}
+
+/** Generic model-score filter (`code/filter/code_score_filter.py`). */
+final case class CodeGenericScoreFilter(inputKey: String, scorer: Scorer,
+    minScore: Double = 0.0, maxScore: Double = 10000.0,
+    scoreKey: String = "code_score") extends Op {
+  val name = "code_score_filter"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(scoreKey)
+  def apply(df: DataFrame): DataFrame =
+    graft.serving.LLMMap.scored(df, inputKey, scoreKey, scorer)
+      .filter(col(scoreKey) >= minScore && col(scoreKey) <= maxScore)
+}
+
+/** Execution seam for the sandbox evaluator: (ok, log). */
+trait CodeExecutor extends Serializable {
+  def run(code: String, timeoutSec: Int): (Boolean, String)
+}
+
+/** Real subprocess execution with a hard timeout — one process per
+  * snippet via the configured command (e.g. Seq("python3", "-c") or
+  * Seq("/bin/sh", "-c")), stderr captured as the log. */
+final case class ProcessCodeExecutor(command: Seq[String]) extends CodeExecutor {
+  def run(code: String, timeoutSec: Int): (Boolean, String) = {
+    try {
+      val pb = new ProcessBuilder((command :+ code): _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      // drain stdout on a daemon thread: a blocking read on the caller
+      // thread would defeat the timeout, and an undrained pipe can
+      // deadlock a chatty child
+      val buf = new java.io.ByteArrayOutputStream()
+      val reader = new Thread(() => {
+        try proc.getInputStream.transferTo(buf) catch { case _: Exception => () }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      val done = proc.waitFor(timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { proc.destroyForcibly(); (false, "TIMEOUT") }
+      else {
+        reader.join(1000)
+        (proc.exitValue() == 0, buf.toString("UTF-8").take(4096))
+      }
+    } catch { case e: Exception => (false, s"EXEC_ERROR: ${e.getMessage}") }
+  }
+}
+
+/** Deterministic mock executor: snippets containing "fail" fail. */
+final case class MockCodeExecutor() extends CodeExecutor {
+  def run(code: String, timeoutSec: Int): (Boolean, String) =
+    if (code.contains("fail")) (false, "mock failure") else (true, "ok")
+}
+
+/** Sandboxed execution evaluator
+  * (`code/eval/code_sandbox_sample_evaluator.py:17-90`): run each code
+  * snippet with process isolation + timeout, append PASS/FAIL status and
+  * the captured log. mapPartitions: executions are distributed and
+  * bounded per executor like every serving-backed op. */
+final case class CodeSandboxSampleEvaluator(inputKey: String = "generated_code",
+    executor: CodeExecutor = MockCodeExecutor(), timeoutSec: Int = 15,
+    statusKey: String = "sandbox_status", logKey: String = "sandbox_log")
+    extends Op {
+  val name = "code_sandbox_sample_evaluator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(statusKey, logKey)
+  def apply(df: DataFrame): DataFrame = {
+    val schema = df.schema
+      .add(StructField(statusKey, StringType, nullable = false))
+      .add(StructField(logKey, StringType, nullable = true))
+    val idx = df.schema.fieldIndex(inputKey)
+    val (ex, to) = (executor, timeoutSec)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val (ok, log) = ex.run(Option(r.getString(idx)).getOrElse(""), to)
+        Row.fromSeq(r.toSeq :+ (if (ok) "PASS" else "FAIL") :+ log)
+      }
+    }(Encoders.row(schema))
+  }
+}

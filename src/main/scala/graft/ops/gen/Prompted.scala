@@ -166,3 +166,20 @@ final case class Text2QAGenerator(inputKey: String, serving: ServingClient)
     LLMMap.generated(q, "question", "answer", serving, "AGEN")
   }
 }
+
+/** LLM-judged language filter (`general_text/filter/llm_language_filter.py`):
+  * the model identifies the text's language; rows whose detected code is
+  * in the allow-list survive. The response parses for the first 2-letter
+  * ISO code among the allowed set (robust to chatty responses). */
+final case class LLMLanguageFilter(inputKey: String, serving: ServingClient,
+    allowed: Seq[String]) extends Op {
+  val name = "llm_language_filter"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Nil
+  def apply(df: DataFrame): DataFrame = {
+    val raw = LLMMap.generated(df, inputKey, "__lang_raw", serving, "LANGID")
+    val pattern = "\\b(" + allowed.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"
+    raw.filter(regexp_extract(lower(col("__lang_raw")), pattern, 1) =!= "")
+      .drop("__lang_raw")
+  }
+}

@@ -157,3 +157,52 @@ final case class ReasoningQuestionFusionGenerator(problem1Key: String,
         s"FUSION:$style").drop("__p")
     }
 }
+
+/** LLM question-category classification
+  * (`reasoning/eval/reasoning_question_category_sample_evaluator.py:79-117`):
+  * the model's (possibly ```json-fenced) response parses for the category
+  * field; unparseable responses yield null. */
+final case class ReasoningCategorySampleEvaluator(inputKey: String = "instruction",
+    serving: graft.serving.ServingClient,
+    outputKey: String = "question_category") extends graft.core.Op {
+  val name = "reasoning_question_category_sample_evaluator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val raw = LLMMap.generated(df, inputKey, "__raw", serving, "CATEGORY")
+    val unfenced = regexp_replace(col("__raw"), "(?s)^```json\\s*|\\s*```$", "")
+    val cat = regexp_extract(unfenced, "\"category\"\\s*:\\s*\"([^\"]*)\"", 1)
+    raw.withColumn(outputKey, when(cat =!= "", cat)).drop("__raw")
+  }
+}
+
+/** LLM question-difficulty rating
+  * (`reasoning_question_difficulty_sample_evaluator.py:79-105`): parse
+  * `Rating: <number>` from the response into a double score. */
+final case class ReasoningDifficultySampleEvaluator(inputKey: String = "instruction",
+    serving: graft.serving.ServingClient,
+    outputKey: String = "difficulty_score") extends graft.core.Op {
+  val name = "reasoning_question_difficulty_sample_evaluator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val raw = LLMMap.generated(df, inputKey, "__raw", serving, "DIFFICULTY")
+    val m = regexp_extract(col("__raw"), "Rating:\\s*((\\d+\\.\\d+)|\\d+)", 1)
+    raw.withColumn(outputKey, when(m =!= "", m.cast("double"))).drop("__raw")
+  }
+}
+
+/** LLM solvability judge
+  * (`reasoning_question_solvable_sample_evaluator.py`): yes/no verdict
+  * as a boolean score column (evaluator — rows are kept). */
+final case class ReasoningSolvableSampleEvaluator(inputKey: String = "instruction",
+    serving: graft.serving.ServingClient,
+    outputKey: String = "solvable") extends graft.core.Op {
+  val name = "reasoning_question_solvable_sample_evaluator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    LLMMap.generated(df, inputKey, "__raw", serving, "JUDGE")
+      .withColumn(outputKey, lower(col("__raw")).startsWith("yes"))
+      .drop("__raw")
+}

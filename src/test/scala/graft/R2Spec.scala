@@ -153,4 +153,31 @@ class R2Spec extends AnyFunSuite {
       Map("input_key" -> "text", "min_score" -> "0.0"))
     assert(scored(Seq((1L, "hello")).toDF("doc_id", "text")).count() == 1)
   }
+
+  test("process code executor runs real subprocesses with timeout") {
+    import graft.ops.code.ProcessCodeExecutor
+    val ex = ProcessCodeExecutor(Seq("/bin/sh", "-c"))
+    assert(ex.run("exit 0", 5)._1)
+    assert(!ex.run("exit 3", 5)._1)
+    val (ok, log) = ex.run("sleep 30", 1)
+    assert(!ok && log == "TIMEOUT")
+  }
+
+  test("spider hardness classifier follows the spider decision tree") {
+    import graft.ops.text2sql.SpiderHardnessClassifier
+    val cases = Seq(
+      ("SELECT a FROM t", "easy"),
+      ("SELECT a FROM t WHERE x > 0", "easy"),
+      ("SELECT a, b FROM t WHERE x > 0 AND y < 2", "medium"),
+      ("SELECT a FROM t JOIN u ON t.id = u.id WHERE x > 0 ORDER BY a", "hard"),
+      ("SELECT a FROM t WHERE x IN (SELECT y FROM u)", "hard"),
+      ("SELECT a FROM t UNION SELECT b FROM u WHERE x > 0 GROUP BY b", "extra"))
+    val df = cases.zipWithIndex.map { case ((q, _), i) => (i.toLong, q) }
+      .toDF("id", "sql")
+    val got = SpiderHardnessClassifier("sql")(df)
+      .select("id", "hardness").as[(Long, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((q, want), i) =>
+      assert(got(i.toLong) == want, s"$q: got ${got(i.toLong)} want $want")
+    }
+  }
 }
