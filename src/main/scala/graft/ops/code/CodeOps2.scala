@@ -27,18 +27,21 @@ final case class CodeDocumentQualityFilter(inputKey: String = "code",
   private def ls = lines(c)
   private def ws = words(c)
 
-  /** Shannon entropy of the character unigram distribution, computed
-    * over the distinct characters via array ops. */
-  private def entropy: Column = {
-    val chars = split(c, "")
-    val n = size(chars).cast("double")
-    val distinctChars = array_distinct(chars)
-    val terms = transform(distinctChars, ch => {
-      val p = size(filter(chars, x => x === ch)).cast("double") / n
-      -p * log(p)
-    })
-    aggregate(terms, lit(0.0), (acc, x) => acc + x)
+  /** Shannon entropy of the character unigram distribution — one-pass
+    * imperative kernel (the equivalent array expression is
+    * O(chars × distinct) inside codegen and dominates the filter). */
+  private val entropyUdf = udf { s: String =>
+    if (s == null || s.isEmpty) 0.0
+    else {
+      val counts = new java.util.HashMap[Char, Int]()
+      s.foreach(ch => counts.merge(ch, 1, (a, b) => a + b))
+      val n = s.length.toDouble
+      var e = 0.0
+      counts.values.forEach { cnt => val p = cnt / n; e -= p * math.log(p) }
+      e
+    }
   }
+  private def entropy: Column = entropyUdf(c)
 
   def predicate: Column = {
     val nChars = length(c)

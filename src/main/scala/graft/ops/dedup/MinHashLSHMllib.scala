@@ -25,11 +25,15 @@ final case class MinHashLSHDeduplicateFilter(inputKey: String = "text",
   val outputKeys = Nil
 
   def apply(df: DataFrame): DataFrame = {
-    val withGrams = df.withColumn("__grams", wordNgrams(col(inputKey), ngram))
+    // prune to (orderKey, grams) BEFORE featurizing: approxSimilarityJoin
+    // replicates both datasets' full rows into every candidate pair, so
+    // carrying the text column multiplies the shuffle by the payload size
+    val withGrams = df
+      .select(col(orderKey), wordNgrams(col(inputKey), ngram).as("__grams"))
       .filter(size(col("__grams")) > 0)
     val tf = new HashingTF().setInputCol("__grams").setOutputCol("__features")
       .setNumFeatures(numFeatures).setBinary(true)
-    val featured = tf.transform(withGrams)
+    val featured = tf.transform(withGrams).select(col(orderKey), col("__features"))
     val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(featured)

@@ -65,10 +65,30 @@ object CorpusEvaluators {
       sigma: Double = 6.0): DataFrame = {
     val nDocs = pairs.count().toDouble
     val maxN = 4
+    // one-pass imperative n-gram kernel: the equivalent expression tree
+    // re-splits the text per n and string-builds every slice separately
+    // (4-5x slower at sf0.1)
+    val gramsUdf = udf { ws: Seq[String] =>
+      if (ws == null) Array.empty[(Int, String)]
+      else {
+        val out = Array.newBuilder[(Int, String)]
+        var k = 1
+        while (k <= maxN) {
+          var i = 0
+          while (i <= ws.length - k) {
+            val sb = new StringBuilder
+            var j = 0
+            while (j < k) { if (j > 0) sb.append(' '); sb.append(ws(i + j)); j += 1 }
+            out += ((k, sb.toString)); i += 1
+          }
+          k += 1
+        }
+        out.result()
+      }
+    }
     def gramStructs(c: Column): Column =
-      concat((1 to maxN).map(k =>
-        transform(wordNgrams(c, k),
-          g => struct(lit(k).as("n"), g.as("gram")))): _*)
+      transform(gramsUdf(words(c)),
+        g => struct(g("_1").as("n"), g("_2").as("gram")))
     val tagged = pairs.select(col(idKey), lit("p").as("side"),
       explode(gramStructs(col(predKey))).as("ng"))
       .unionAll(pairs.select(col(idKey), lit("r").as("side"),
@@ -77,9 +97,13 @@ object CorpusEvaluators {
     val tf = tagged.groupBy(idKey, "n", "gram").agg(
       sum(when(col("side") === "p", 1).otherwise(0)).as("tf_p"),
       sum(when(col("side") === "r", 1).otherwise(0)).as("tf_r"))
+    // NO broadcast hint: unlike the unigram variant's vocab-bounded idf,
+    // the distinct 3/4-gram table grows with the corpus — a forced
+    // broadcast would OOM the driver at scale. AQE still picks broadcast
+    // when it happens to be small.
     val dfq = tf.filter(col("tf_r") > 0)
       .groupBy("n", "gram").agg(count(lit(1)).as("dfreq"))
-    val w = tf.join(broadcast(dfq), Seq("n", "gram"), "left")
+    val w = tf.join(dfq, Seq("n", "gram"), "left")
       .withColumn("idfw",
         lit(math.log(nDocs)) - log(greatest(lit(1.0), coalesce(col("dfreq"), lit(0.0)))))
       .withColumn("wp", col("tf_p") * col("idfw"))
