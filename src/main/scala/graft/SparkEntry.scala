@@ -1710,6 +1710,114 @@ object SparkEntry {
       s"SELECT doc_id, length(text) % 2 = 0 AS solvable FROM $D") { (s, dir) =>
       ReasoningSolvableSampleEvaluator("text", mock)(t(s, dir, D))
         .select("doc_id", "solvable")
+    },
+    "agg_smiles_equivalence" -> oracled(
+      // gold vs synthesized SMILES equivalence accuracy — string-equality
+      // degrade of RDKit canonical compare (seam documented in the op)
+      s"""SELECT COUNT(*) AS total,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS equivalent,
+         |  round(CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |        CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D)
+        .withColumn("golden_label", concat(lit("C"), col("doc_id") % 7))
+        .withColumn("synth_smiles",
+          when(col("doc_id") % 2 === 0, concat(lit("C"), col("doc_id") % 7))
+            .otherwise(concat(lit("N"), col("doc_id") % 7)))
+      SmilesEquivalenceDatasetEvaluator("golden_label", "synth_smiles")(df)
+    },
+    "kbc_qa_extract" -> oracled(
+      s"""SELECT doc_id, v.pos, 'q' || doc_id || '-' || (v.pos + 1) AS question,
+         |  'a' || doc_id || '-' || (v.pos + 1) AS answer
+         |FROM $D, (VALUES (0), (1)) v(pos)""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D).withColumn("text",
+        concat(lit("Q: q"), col("doc_id"), lit("-1 A: a"), col("doc_id"),
+          lit("-1 Q: q"), col("doc_id"), lit("-2 A: a"), col("doc_id"), lit("-2")))
+      QAExtractGenerator("text", "doc_id")(df)
+        .select("doc_id", "pos", "question", "answer")
+    },
+    "kbc_mathbook_extract" -> oracled(
+      s"""SELECT doc_id, v.pos,
+         |  CASE v.pos WHEN 0 THEN 'solve x' ELSE 'compute y' END AS question,
+         |  CASE v.pos WHEN 0 THEN 'img' || doc_id ELSE '' END AS images
+         |FROM $D, (VALUES (0), (1)) v(pos)""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D).withColumn("text",
+        concat(lit("solve x <image>img"), col("doc_id"),
+          lit(".jpg</image><SPACE>compute y")))
+      MathbookQuestionExtract("text", "doc_id")(df)
+        .select(col("doc_id"), col("pos"), col("question"),
+          concat_ws(",", col("images")).as("images"))
+    },
+    "mm_vqa_format" -> oracled(
+      s"""SELECT doc_id, to_json(struct_pack(
+         |  messages := [
+         |    struct_pack(role := 'user', content := 'what is ' || doc_id),
+         |    struct_pack(role := 'assistant', content := text)],
+         |  images := ['img' || doc_id || '.jpg'])) AS sharegpt
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D)
+        .withColumn("question", concat(lit("what is "), col("doc_id")))
+        .withColumn("answer", col("text"))
+        .withColumn("images", array(concat(lit("img"), col("doc_id"), lit(".jpg"))))
+      VQAFormatter()(df).select("doc_id", "sharegpt")
+    },
+    "mm_pdf_merge" -> oracled(
+      // 3 synthesized pages per doc reassembled in page order
+      s"""WITH pages AS (SELECT doc_id, v.p AS page,
+         |  'p' || v.p || ':' || lang AS content
+         |  FROM $D, (VALUES (0), (1), (2)) v(p))
+         |SELECT doc_id, string_agg(content, chr(10) || chr(10) ORDER BY page) AS document
+         |FROM pages GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val pages = t(s, dir, D)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(0), lit(2))).as("page"))
+        .withColumn("content", concat(lit("p"), col("page"), lit(":"), col("lang")))
+      PDFMerger()(pages).select("doc_id", "document")
+    },
+    "gen_llm_output_parse" -> oracled(
+      s"""SELECT doc_id, 'q' || doc_id AS question, 'a' || doc_id AS answer
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D).withColumn("raw",
+        concat(lit("Question: q"), col("doc_id"), lit("\nAnswer: a"), col("doc_id")))
+      LLMOutputParser("raw")(df).select("doc_id", "question", "answer")
+    },
+    "eval_text2qa" -> oracled(
+      s"""SELECT doc_id, CAST(length(text || ' <A> a' || doc_id) % 100 AS DOUBLE) / 10.0
+         |  AS qa_score FROM $D""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D).withColumn("question", col("text"))
+        .withColumn("answer", concat(lit("a"), col("doc_id")))
+      Text2QASampleEvaluator("question", "answer", mockScorer)(df)
+        .select("doc_id", "qa_score")
+    },
+    "eval_qurating_dims" -> oracled(
+      // all four axes score through the same mock → identical values per
+      // row; real raters differ per dimension through the Scorer seam
+      s"""SELECT doc_id,
+         |  CAST(length(text) % 100 AS DOUBLE) / 10.0 AS qurating_writing_style,
+         |  CAST(length(text) % 100 AS DOUBLE) / 10.0 AS qurating_required_expertise,
+         |  CAST(length(text) % 100 AS DOUBLE) / 10.0 AS qurating_facts_and_trivia,
+         |  CAST(length(text) % 100 AS DOUBLE) / 10.0 AS qurating_educational_value
+         |FROM $D""".stripMargin) { (s, dir) =>
+      QuratingSampleEvaluator("text", mock)(t(s, dir, D))
+        .select("doc_id", "qurating_writing_style", "qurating_required_expertise",
+          "qurating_facts_and_trivia", "qurating_educational_value")
+    },
+    "eval_code_stats" -> oracled(
+      s"""WITH c AS (SELECT doc_id, $sqlCodeCol AS code FROM $D)
+         |SELECT doc_id, CAST(len(split(code, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(list_max(list_transform(split(code, chr(10)), l -> length(l))) AS BIGINT)
+         |    AS max_line_length,
+         |  round(CAST(length(regexp_replace(code, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) /
+         |        CAST(greatest(length(code), 1) AS DOUBLE), 6) AS alnum_ratio,
+         |  CAST(CASE WHEN regexp_matches(lower(code),
+         |    '(auto-generated|autogenerated|do not edit|generated by)') THEN 1 ELSE 0 END AS INT)
+         |    AS autogen_flag
+         |FROM c""".stripMargin) { (s, dir) =>
+      val df = withCodeCol(t(s, dir, D))
+      val s1 = graft.ops.code.CodeLengthSampleEvaluator("code")(df)
+      val s2 = graft.ops.code.CodeTextCompositionSampleEvaluator("code")(s1)
+      graft.ops.code.CodeAutoGeneratedSampleEvaluator("code")(s2)
+        .select("doc_id", "n_lines", "max_line_length", "alnum_ratio", "autogen_flag")
     })
 
   /** DuckDB QA-F1 token normalization (matches QAF1SampleEvaluator.norm). */

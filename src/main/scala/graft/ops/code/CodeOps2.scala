@@ -174,3 +174,43 @@ final case class CodeSandboxSampleEvaluator(inputKey: String = "generated_code",
     }(Encoders.row(schema))
   }
 }
+
+/** Score-only twins of the code rule filters (the `code/eval` sample
+  * evaluator family): append the statistic columns, keep every row. */
+final case class CodeLengthSampleEvaluator(inputKey: String = "code")
+    extends graft.core.EvalOp {
+  val name = "code_length_sample_evaluator"
+  val inputKeys = Seq(inputKey)
+  def scores: Seq[(String, Column)] = Seq(
+    "n_lines" -> size(lines(col(inputKey))).cast("long"),
+    "max_line_length" -> aggregate(lines(col(inputKey)), lit(0),
+      (acc, l) => greatest(acc, length(l))).cast("long"))
+}
+
+final case class CodeTextCompositionSampleEvaluator(inputKey: String = "code")
+    extends graft.core.EvalOp {
+  val name = "code_text_composition_sample_evaluator"
+  val inputKeys = Seq(inputKey)
+  def scores: Seq[(String, Column)] = Seq(
+    "alnum_ratio" -> round(
+      length(regexp_replace(col(inputKey), "[^A-Za-z0-9]", "")).cast("double") /
+        greatest(length(col(inputKey)), lit(1)).cast("double"), 6))
+}
+
+final case class CodeAutoGeneratedSampleEvaluator(inputKey: String = "code")
+    extends graft.core.EvalOp {
+  val name = "code_auto_generated_sample_evaluator"
+  val inputKeys = Seq(inputKey)
+  def scores: Seq[(String, Column)] = Seq(
+    "autogen_flag" -> lower(col(inputKey))
+      .rlike("(auto-generated|autogenerated|do not edit|generated by)").cast("int"))
+}
+
+final case class CodeEncodedDataSampleEvaluator(inputKey: String = "code",
+    maxBlob: Int = 64) extends graft.core.EvalOp {
+  val name = "code_encoded_data_sample_evaluator"
+  val inputKeys = Seq(inputKey)
+  def scores: Seq[(String, Column)] = Seq(
+    "encoded_flag" -> (col(inputKey).rlike(s"[A-Za-z0-9+/=]{${maxBlob + 1},}") ||
+      col(inputKey).rlike("(0x)?[0-9a-fA-F]{128,}")).cast("int"))
+}

@@ -65,3 +65,24 @@ object DatasetEvaluators {
       max(n).cast("long").as("max_tokens"))
   }
 }
+
+/** SMILES-equivalence dataset accuracy
+  * (`chemistry/eval/smiles_equivalence_dataset_evaluator.py:11-120`):
+  * per row, 1 when the synthesized SMILES matches the gold label, else
+  * 0; dataset score = mean. The reference canonicalizes through RDKit
+  * (`Chem.MolToSmiles(canonical=True)`); without a chemistry toolkit the
+  * comparison degrades to trimmed string equality — the aggregation
+  * shape and the scoring contract are identical, the canonicalizer is a
+  * seam (`canon`). */
+final case class SmilesEquivalenceDatasetEvaluator(goldKey: String,
+    synthKey: String,
+    canon: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => org.apache.spark.sql.functions.trim(c)) {
+  import org.apache.spark.sql.functions._
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val eq = (canon(col(goldKey)) === canon(col(synthKey))).cast("int")
+    df.agg(count(lit(1)).as("total"),
+      sum(eq).cast("bigint").as("equivalent"),
+      round(sum(eq).cast("double") / count(lit(1)).cast("double"), 6).as("accuracy"))
+  }
+}

@@ -154,3 +154,36 @@ final case class ModelScoreEvaluator(inputKey: String, scorer: Scorer,
   def apply(df: DataFrame): DataFrame =
     LLMMap.scored(df, inputKey, scoreKey, scorer)
 }
+
+/** Qurating multi-axis quality rater (`text_pt/eval/qurating_sample_evaluator.py`):
+  * one score column per dimension (writing_style, required_expertise,
+  * facts_and_trivia, educational_value), each a narrow scored pass
+  * through the Scorer seam. */
+final case class QuratingSampleEvaluator(inputKey: String,
+    serving: graft.serving.ServingClient,
+    dimensions: Seq[String] = Seq("writing_style", "required_expertise",
+      "facts_and_trivia", "educational_value")) extends Op {
+  val name = "qurating_sample_evaluator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = dimensions.map(d => s"qurating_$d")
+  def apply(df: DataFrame): DataFrame =
+    dimensions.foldLeft(df) { (d, dim) =>
+      LLMMap.scored(d, inputKey, s"qurating_$dim",
+        graft.serving.ServingScorer(serving, dimension = dim))
+    }
+}
+
+/** LLM quality score of a generated QA pair
+  * (`core_text/eval/text2qa_sample_evaluator.py`). */
+final case class Text2QASampleEvaluator(questionKey: String,
+    answerKey: String, scorer: Scorer,
+    outputKey: String = "qa_score") extends Op {
+  val name = "text2qa_sample_evaluator"
+  val inputKeys = Seq(questionKey, answerKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame = {
+    val p = df.withColumn("__p",
+      concat(col(questionKey), lit(" <A> "), col(answerKey)))
+    LLMMap.scored(p, "__p", outputKey, scorer).drop("__p")
+  }
+}
