@@ -52,6 +52,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("model-scored filters and LLM maps stay narrow") {
+    Seq("filter_pt_fineweb_edu", "filter_sft_rm", "eval_pt_model_score",
+      "mm_vqa", "gen_question_fusion").foreach { q =>
+      val plan = physicalPlan(q)
+      assert(!plan.contains("Exchange"), s"$q shuffles unexpectedly")
+    }
+  }
+
   test("join_bucketed query plan is exchange-free end to end") {
     val plan = physicalPlan("join_bucketed")
     assert(!plan.contains("Exchange hashpartitioning"),

@@ -180,4 +180,26 @@ class R2Spec extends AnyFunSuite {
       assert(got(i.toLong) == want, s"$q: got ${got(i.toLong)} want $want")
     }
   }
+
+  test("similarity join recovers planted near-duplicate pairs") {
+    // 60 well-separated base vectors + 20 planted near-clones (tiny
+    // perturbation -> cos ~ 0.999); multi-table LSH must recover most
+    // planted pairs and the exact verify must admit no false positives
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val clones = (0 until 20).map { i =>
+      val (id, v) = base(i)
+      (100L + id, v.map(x => x + rnd.nextGaussian() * 0.01))
+    }
+    val df = (base ++ clones).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val pairs = graft.ops.sim.Similarity
+      .similarityJoin(df, "embedding", "vec_id", threshold = 0.98)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 20).map(i => (i.toLong, 100L + i)).toSet
+    val found = pairs.count(planted.contains)
+    assert(pairs.subsetOf(planted), s"false positives: ${pairs -- planted}")
+    assert(found >= 15, s"recall too low: $found/20") // 8 bits x 4 tables
+  }
 }
