@@ -34,6 +34,10 @@ object SparkEntry {
       WordNumberFilter("text", 5, 100000),
       HashDeduplicateFilter(Seq("text"), "doc_id"),
       MinHashDeduplicateFilter("text", "doc_id", threshold = 0.9),
+      SimHashDeduplicateFilter("text", "doc_id"),
+      // model-scored pretrain filter through the Scorer seam (mock
+      // deterministic; min 0 keeps the smoke non-empty at sf0.001)
+      FineWebEduFilter("text", graft.serving.ServingScorer(mock), minScore = 0.0),
       QualityScoreEvaluator("text"),
       LanguageIdEvaluator("text"),
       TokenCountEvaluator("text"))
