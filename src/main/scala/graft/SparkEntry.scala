@@ -1806,6 +1806,25 @@ object SparkEntry {
         .select("doc_id", "qurating_writing_style", "qurating_required_expertise",
           "qurating_facts_and_trivia", "qurating_educational_value")
     },
+    "gen_code_chain" -> oracled(
+      // code → instruction → enhanced → code, the four-op code-generate
+      // family as one chain; the final fence parse falls back to the
+      // stripped response (no ``` in the echo)
+      s"""SELECT doc_id, 'echo[CODE2INST]:' || text AS instruction,
+         |  'echo[CODEENH]:echo[CODE2INST]:' || text AS enhanced_instruction,
+         |  'echo[INST2CODE]:echo[CODEENH]:echo[CODE2INST]:' || text AS generated_code
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val s1 = graft.ops.code.CodeToInstructionGenerator("text", mock)(t(s, dir, D))
+      val s2 = graft.ops.code.CodeEnhancementInstructionGenerator("instruction", mock)(s1)
+      graft.ops.code.CodeInstructionToCodeGenerator("enhanced_instruction", mock)(s2)
+        .select("doc_id", "instruction", "enhanced_instruction", "generated_code")
+    },
+    "gen_phi4qa" -> oracled(
+      s"SELECT doc_id, 'echo[PHI4QA]:' || text AS generated_content FROM $D") {
+      (s, dir) =>
+        graft.ops.code.Phi4QAGenerator("text", mock)(t(s, dir, D))
+          .select("doc_id", "generated_content")
+    },
     "eval_code_stats" -> oracled(
       s"""WITH c AS (SELECT doc_id, $sqlCodeCol AS code FROM $D)
          |SELECT doc_id, CAST(len(split(code, chr(10))) AS BIGINT) AS n_lines,

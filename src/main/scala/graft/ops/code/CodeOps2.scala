@@ -214,3 +214,70 @@ final case class CodeEncodedDataSampleEvaluator(inputKey: String = "code",
     "encoded_flag" -> (col(inputKey).rlike(s"[A-Za-z0-9+/=]{${maxBlob + 1},}") ||
       col(inputKey).rlike("(0x)?[0-9a-fA-F]{128,}")).cast("int"))
 }
+
+/** Code instruction-pair generators (the `code/generate` family) — four
+  * named LLM maps sharing the serving bridge:
+  * code → instruction (`code_code_to_instruction_generator.py:19`),
+  * seed → instruction (`code_gen_instruction.py:19`),
+  * instruction → enhanced (`code_instruction_enhancement.py:18`),
+  * instruction → code with fenced-block parse
+  * (`code_instruction_to_code_generator.py:100-106`). */
+final case class CodeToInstructionGenerator(codeKey: String,
+    serving: graft.serving.ServingClient,
+    outputKey: String = "instruction") extends Op {
+  val name = "code_code_to_instruction_generator"
+  val inputKeys = Seq(codeKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame =
+    graft.serving.LLMMap.generated(df, codeKey, outputKey, serving, "CODE2INST")
+}
+
+final case class CodeInstructionGenerator(seedKey: String,
+    serving: graft.serving.ServingClient,
+    outputKey: String = "instruction") extends Op {
+  val name = "code_instruction_generator"
+  val inputKeys = Seq(seedKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame =
+    graft.serving.LLMMap.generated(df, seedKey, outputKey, serving, "CODEINST")
+}
+
+final case class CodeEnhancementInstructionGenerator(instructionKey: String,
+    serving: graft.serving.ServingClient,
+    outputKey: String = "enhanced_instruction") extends Op {
+  val name = "code_enhancement_instruction_generator"
+  val inputKeys = Seq(instructionKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame =
+    graft.serving.LLMMap.generated(df, instructionKey, outputKey, serving, "CODEENH")
+}
+
+final case class CodeInstructionToCodeGenerator(instructionKey: String,
+    serving: graft.serving.ServingClient,
+    outputKey: String = "generated_code") extends Op {
+  val name = "code_instruction_to_code_generator"
+  val inputKeys = Seq(instructionKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame = {
+    val raw = graft.serving.LLMMap.generated(df, instructionKey, "__raw",
+      serving, "INST2CODE")
+    // fenced block if present, else the stripped response (reference
+    // parse at code_instruction_to_code_generator.py:100-106)
+    val block = regexp_extract(col("__raw"), "(?s)```(?:python\\n)?(.*)```", 1)
+    raw.withColumn(outputKey,
+      when(trim(block) =!= "", trim(block)).otherwise(trim(col("__raw"))))
+      .drop("__raw")
+  }
+}
+
+/** Phi-4-style QA synthesis over raw pretrain content
+  * (`text_pt/generate/phi4qa_generator.py:55-87`). */
+final case class Phi4QAGenerator(inputKey: String = "raw_content",
+    serving: graft.serving.ServingClient,
+    outputKey: String = "generated_content") extends Op {
+  val name = "phi4qa_generator"
+  val inputKeys = Seq(inputKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: DataFrame): DataFrame =
+    graft.serving.LLMMap.generated(df, inputKey, outputKey, serving, "PHI4QA")
+}
