@@ -1825,6 +1825,34 @@ object SparkEntry {
         graft.ops.code.Phi4QAGenerator("text", mock)(t(s, dir, D))
           .select("doc_id", "generated_content")
     },
+    "filter_langkit" -> oracled(
+      s"""SELECT doc_id, n_chars FROM $D
+         |WHERE ${sqlWordCount("text")} BETWEEN 30 AND 80
+         |  AND length(text) BETWEEN 1 AND 1000000""".stripMargin) { (s, dir) =>
+      LangkitFilter("text", minWords = 30, maxWords = 80)(t(s, dir, D))
+        .select("doc_id", "n_chars")
+    },
+    "gen_condor_pairs" -> oracled(
+      s"""SELECT doc_id, 'echo[CONDORQ]:' || lang AS instruction,
+         |  'echo[CONDORA]:echo[CONDORQ]:' || lang AS response FROM $D""".stripMargin) {
+      (s, dir) =>
+        CondorGenerator("lang", mock)(t(s, dir, D))
+          .select("doc_id", "instruction", "response")
+    },
+    "filter_reasoning_question" -> oracled(
+      // mock judge: yes iff even question length
+      s"SELECT doc_id, n_chars FROM $D WHERE length(text) % 2 = 0") { (s, dir) =>
+      ReasoningQuestionFilter("text", mock)(t(s, dir, D))
+        .select("doc_id", "n_chars")
+    },
+    "filter_answer_model_judge" -> oracled(
+      s"""SELECT doc_id, n_chars FROM $D
+         |WHERE length(text || ' <VS> g' || doc_id) % 2 = 0""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D).withColumn("golden_answer",
+        concat(lit("g"), col("doc_id")))
+      ReasoningAnswerModelJudgeFilter("text", "golden_answer", mock)(df)
+        .select("doc_id", "n_chars")
+    },
     "eval_code_stats" -> oracled(
       s"""WITH c AS (SELECT doc_id, $sqlCodeCol AS code FROM $D)
          |SELECT doc_id, CAST(len(split(code, chr(10))) AS BIGINT) AS n_lines,

@@ -315,3 +315,20 @@ object Lexicons {
     "will", "just", "do", "does", "did", "have", "has", "had", "he",
     "she", "they", "we", "you", "i", "his", "her", "their", "our", "your")
 }
+
+/** Langkit-metric threshold filter (`general_text/filter/langkit_filter.py`):
+  * bound the cheap readability stats (chars, words, sentences) the
+  * langkit evaluator computes — rows outside any band drop. */
+final case class LangkitFilter(inputKey: String = "text",
+    minChars: Int = 1, maxChars: Int = 1000000,
+    minWords: Int = 1, maxWords: Int = 100000,
+    minSentences: Int = 0, maxSentences: Int = 100000) extends FilterOp {
+  val name = "langkit_filter"
+  val inputKeys = Seq(inputKey)
+  def predicate: org.apache.spark.sql.Column = {
+    import graft.functions.text._
+    length(col(inputKey)).between(minChars, maxChars) &&
+      wordCount(col(inputKey)).between(minWords, maxWords) &&
+      sentenceCount(col(inputKey)).between(minSentences, maxSentences)
+  }
+}

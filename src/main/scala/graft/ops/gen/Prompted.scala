@@ -183,3 +183,17 @@ final case class LLMLanguageFilter(inputKey: String, serving: ServingClient,
       .drop("__lang_raw")
   }
 }
+
+/** Condor two-stage SFT synthesis from taxonomy seeds
+  * (`text_sft/generate/condor_generator.py`): seed → instruction →
+  * response, two chained LLM maps. */
+final case class CondorGenerator(seedKey: String, serving: ServingClient)
+    extends Op {
+  val name = "condor_generator"
+  val inputKeys = Seq(seedKey)
+  val outputKeys = Seq("instruction", "response")
+  def apply(df: DataFrame): DataFrame = {
+    val q = LLMMap.generated(df, seedKey, "instruction", serving, "CONDORQ")
+    LLMMap.generated(q, "instruction", "response", serving, "CONDORA")
+  }
+}

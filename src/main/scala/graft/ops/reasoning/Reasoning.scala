@@ -206,3 +206,48 @@ final case class ReasoningSolvableSampleEvaluator(inputKey: String = "instructio
       .withColumn(outputKey, lower(col("__raw")).startsWith("yes"))
       .drop("__raw")
 }
+
+/** LLM question synthesis from seed problems
+  * (`reasoning/generate/reasoning_question_generator.py`). */
+final case class ReasoningQuestionGenerator(seedKey: String,
+    serving: graft.serving.ServingClient,
+    outputKey: String = "generated_question") extends graft.core.Op {
+  val name = "reasoning_question_generator"
+  val inputKeys = Seq(seedKey)
+  val outputKeys = Seq(outputKey)
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    LLMMap.generated(df, seedKey, outputKey, serving, "QUESTIONGEN")
+}
+
+/** Four-aspect LLM question-quality gate
+  * (`reasoning/filter/reasoning_question_filter.py:36-80`: format,
+  * semantics, contradictions, solvability — keep passing rows). */
+final case class ReasoningQuestionFilter(questionKey: String,
+    serving: graft.serving.ServingClient) extends graft.core.Op {
+  val name = "reasoning_question_filter"
+  val inputKeys = Seq(questionKey)
+  val outputKeys = Nil
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    LLMMap.generated(df, questionKey, "__judge", serving, "JUDGE")
+      .filter(lower(col("__judge")).startsWith("yes"))
+      .drop("__judge")
+}
+
+/** LLM answer-vs-groundtruth judge filter
+  * (`reasoning/filter/reasoning_answer_model_judge_filter.py`): the
+  * judge sees both answers and keeps semantically-equivalent rows —
+  * the model-backed sibling of the exact AnswerGroundTruthFilter. */
+final case class ReasoningAnswerModelJudgeFilter(answerKey: String,
+    goldKey: String, serving: graft.serving.ServingClient)
+    extends graft.core.Op {
+  val name = "reasoning_answer_model_judge_filter"
+  val inputKeys = Seq(answerKey, goldKey)
+  val outputKeys = Nil
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.withColumn("__p",
+      concat(col(answerKey), lit(" <VS> "), col(goldKey)))
+    LLMMap.generated(p, "__p", "__judge", serving, "JUDGE")
+      .filter(lower(col("__judge")).startsWith("yes"))
+      .drop("__p", "__judge")
+  }
+}
