@@ -1271,9 +1271,7 @@ object SparkEntry {
         val pairs = d.select(col("doc_id"), col("text").as("t1"))
           .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("t2")),
             Seq("doc_id"))
-          .withColumn("__prompt", concat(col("t1"), lit(" <HOP> "), col("t2")))
-        graft.serving.LLMMap.generated(pairs, "__prompt", "qa", mock, "MULTIHOP")
-          .select("doc_id", "qa")
+        Text2MultiHopQAGenerator("t1", "t2", mock)(pairs).select("doc_id", "qa")
     },
     "gen_sql" -> oracled(
       s"""SELECT doc_id, trim('echo[SQLGEN]:CREATE TABLE t_' || lang || '(x INT)') AS sql
@@ -1286,14 +1284,19 @@ object SparkEntry {
       """SELECT t.i AS topic_id, s.j AS intent_id,
         |  'echo[CHAT]:topic-' || t.i || ':intent-' || s.j AS dialog
         |FROM range(5) t(i), range(4) s(j)""".stripMargin) { (s, _) =>
-      // topic × intent grid → one LLM synthesis per cell
-      // (`consistent_chat_generator.py:18-58`'s seed grid)
-      val topics = s.range(5).withColumnRenamed("id", "topic_id")
-      val intents = s.range(4).withColumnRenamed("id", "intent_id")
-      val grid = topics.crossJoin(intents).withColumn("__prompt",
-        concat(lit("topic-"), col("topic_id"), lit(":intent-"), col("intent_id")))
-      graft.serving.LLMMap.generated(grid, "__prompt", "dialog", mock, "CHAT")
-        .drop("__prompt")
+      ConsistentChatGenerator.grid(s, 5, 4, mock)
+    },
+    "gen_bench_answer" -> oracled(
+      s"""SELECT doc_id, 'echo[ANSWER]:' || text AS answer FROM $D""") {
+      (s, dir) =>
+        BenchAnswerGenerator("text", mock)(t(s, dir, D))
+          .select("doc_id", "answer")
+    },
+    "gen_sft_seed" -> oracled(
+      s"""SELECT doc_id, lang AS instruction, 'ans:' || lang AS output
+         |FROM $D""".stripMargin) { (s, dir) =>
+      SFTGeneratorSeed("lang", mock)(t(s, dir, D))
+        .select("doc_id", "instruction", "output")
     },
     "gen_sft_parse" -> oracled(
       s"""WITH j AS (SELECT doc_id, to_json(struct_pack(instruction := text,
@@ -1352,11 +1355,9 @@ object SparkEntry {
          |  'echo[DEPTH]:echo[ATOMIC]:' || text AS depth_qa,
          |  'echo[WIDTH]:echo[DEPTH]:echo[ATOMIC]:' || text AS width_qa
          |FROM $D""".stripMargin) { (s, dir) =>
-      val s1 = graft.serving.LLMMap.generated(t(s, dir, D), "text",
-        "atomic_task", mock, "ATOMIC")
-      val s2 = graft.serving.LLMMap.generated(s1, "atomic_task",
-        "depth_qa", mock, "DEPTH")
-      graft.serving.LLMMap.generated(s2, "depth_qa", "width_qa", mock, "WIDTH")
+      val s1 = AgenticRAGAtomicTaskGenerator("text", mock)(t(s, dir, D))
+      val s2 = AgenticRAGDepthQAGenerator("atomic_task", mock)(s1)
+      AgenticRAGWidthQAGenerator("depth_qa", mock)(s2)
         .select("doc_id", "atomic_task", "depth_qa", "width_qa")
     },
     "agg_vendi" -> rowsOnly { (s, dir) =>

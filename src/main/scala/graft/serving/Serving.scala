@@ -34,6 +34,10 @@ final case class MockServing(dim: Int = 16) extends ServingClient {
         if (p.length % 2 == 0) "yes" else "no"
       else if (systemPrompt.startsWith("SCORE"))
         ((p.length % 100) / 10.0).toString
+      else if (systemPrompt.startsWith("SFTSEED"))
+        // JSON-emitting ops need a parseable body (prompt must be
+        // JSON-safe; oracles use plain-token seeds)
+        s"""{"instruction":"$p","output":"ans:$p"}"""
       else s"echo[$systemPrompt]:$p"
     }
 
