@@ -873,9 +873,14 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 5)
     },
+    // The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
+    // at sf0.01), so a 0.9 threshold correctly returns zero pairs; 0.4 has
+    // real matches (59 at sf0.01). 6 bits × 8 tables: per-bit collision
+    // p = 1 - arccos(0.4)/π ≈ 0.63 → recall ≈ 1-(1-p^6)^8 ≈ 0.4 at the
+    // threshold, rising steeply for closer pairs.
     "sim_join" -> rowsOnly { (s, dir) =>
       Similarity.similarityJoin(t(s, dir, "embeddings"),
-        "embedding", "vec_id", threshold = 0.9)
+        "embedding", "vec_id", threshold = 0.4, bits = 6, tables = 8)
     },
     "mm_binary_meta" -> oracled(
       s"""SELECT doc_id, octet_length(encode(text)) AS byte_length,

@@ -62,7 +62,11 @@ final case class SpiderHardnessClassifier(sqlKey: String,
           case ")" => depth -= 1
           case "select" =>
             if (depth > 0) nested += 1
-            else if (clause.isEmpty) clause = "select"
+            // depth-0 SELECT only occurs at statement start or right after
+            // a set operator — reset the clause tracker either way, else the
+            // second SELECT's column commas still match the stale clause
+            // (e.g. "from" → phantom implicit joins → misclassification)
+            else clause = "select"
           case "union" | "intersect" | "except" if depth == 0 => nested += 1
           case _ if depth == 0 =>
             t match {

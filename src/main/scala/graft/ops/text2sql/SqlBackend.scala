@@ -68,6 +68,11 @@ final case class JdbcSqlBackend(url: String, driverClass: String = "",
         def closeOnce(): Unit = if (!closed) {
           closed = true; try conn.close() catch { case _: Throwable => () }
         }
+        // Close on EVERY task exit path — an early-terminating consumer
+        // (limit/take) or a task failure/kill never drains the iterator,
+        // which would leak the connection on long-lived executors.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val mapped = rows.map { r =>
           val sql = r.getString(idx)
           val (ok, hash) = JdbcSqlBackend.run(conn, sql, to)

@@ -148,7 +148,13 @@ final case class SQLExecutionClassifier(promptKey: String, goldKey: String,
   val inputKeys = Seq(promptKey, goldKey)
   val outputKeys = Seq(outputKey)
   def apply(df: DataFrame): DataFrame = {
+    // monotonically_increasing_id is nondeterministic: re-evaluating it on
+    // both sides of the self-join below (after a shuffle or task retry)
+    // could assign different ids and attach labels to the wrong rows.
+    // localCheckpoint (eager) materializes the assignment exactly once;
+    // input volume here is generation-bounded, not corpus-bounded.
     val withId = df.withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
     val sampled = (0 until numGenerations).foldLeft(withId) { (d, i) =>
       val p = d.withColumn("__p", concat(col(promptKey), lit(s"#$i")))
       LLMMap.generated(p, "__p", s"__g$i", serving, "SQLGEN").drop("__p")
@@ -293,8 +299,11 @@ object SqlExecutor {
     try {
       Await.result(Future {
         val rows = spark.sql(sql).collect()
+        // '' control char — the same cell separator JdbcSqlBackend.run
+        // appends, so both backends emit one canonical row encoding and
+        // cross-backend hash comparison is meaningful.
         Some(SqlBackend.resultSetHash(rows.toSeq.map(r =>
-          r.toSeq.map(String.valueOf).mkString("\\u0001"))))
+          r.toSeq.map(String.valueOf).mkString(""))))
       }.recover { case _: Throwable => None }, timeoutSec.seconds)
     } catch { case _: Throwable => None }
   }

@@ -163,13 +163,50 @@ final case class HttpServing(endpoint: String, model: String,
         throw new java.io.IOException(s"serving HTTP ${r.statusCode()}")
       r.body()
     }
-    // extract each "embedding": [ ... ] array in order
-    val m = java.util.regex.Pattern
-      .compile(""""embedding"\s*:\s*\[([^\]]*)\]""").matcher(resp)
-    val out = Seq.newBuilder[Array[Double]]
-    while (m.find())
-      out += m.group(1).split(",").filter(_.trim.nonEmpty).map(_.trim.toDouble)
-    val vecs = out.result()
+    // Extract each data entry's "embedding" array AND its "index" field,
+    // then order by index — the OpenAI contract allows data[] entries out
+    // of order, and stream-order assignment would silently attach vectors
+    // to the wrong texts. Each data object holds exactly one index and one
+    // embedding (in either field order), so pairing tokens by stream
+    // position with a one-slot buffer reconstructs the (index, vector)
+    // pairs without a full JSON parser.
+    val tok = java.util.regex.Pattern.compile(
+      """"embedding"\s*:\s*\[([^\]]*)\]|"index"\s*:\s*(\d+)""").matcher(resp)
+    val pairs = Seq.newBuilder[(Int, Array[Double])]
+    var pendingIdx: Option[Int] = None
+    var pendingVec: Option[Array[Double]] = None
+    def flush(): Unit = (pendingIdx, pendingVec) match {
+      case (Some(i), Some(v)) =>
+        pairs += ((i, v)); pendingIdx = None; pendingVec = None
+      case _ => ()
+    }
+    var sawIndex = false
+    while (tok.find()) {
+      if (tok.group(1) != null) {
+        val v = tok.group(1).split(",").filter(_.trim.nonEmpty).map(_.trim.toDouble)
+        pendingVec = Some(v); flush()
+      } else {
+        sawIndex = true
+        pendingIdx = Some(tok.group(2).toInt); flush()
+      }
+    }
+    val vecs: Seq[Array[Double]] =
+      if (!sawIndex) {
+        // endpoint omits index (non-OpenAI-strict server): stream order
+        val b = Seq.newBuilder[Array[Double]]
+        val m2 = java.util.regex.Pattern
+          .compile(""""embedding"\s*:\s*\[([^\]]*)\]""").matcher(resp)
+        while (m2.find())
+          b += m2.group(1).split(",").filter(_.trim.nonEmpty).map(_.trim.toDouble)
+        b.result()
+      } else {
+        val ps = pairs.result()
+        val idxs = ps.map(_._1)
+        require(idxs.sorted == texts.indices.toSeq,
+          s"embeddings endpoint returned indices ${idxs.sorted.take(5)}... " +
+            s"not a permutation of 0..${texts.length - 1}")
+        ps.sortBy(_._1).map(_._2)
+      }
     require(vecs.length == texts.length,
       s"embeddings endpoint returned ${vecs.length} vectors for ${texts.length} inputs")
     vecs

@@ -62,6 +62,55 @@ class HttpServingSpec extends AnyFunSuite {
     }
   }
 
+  private def withEmbedServer(respond: String => String)(
+      body: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/embeddings",
+      (exchange: com.sun.net.httpserver.HttpExchange) => {
+        val req = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+        val bytes = respond(req).getBytes("UTF-8")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/v1/chat/completions")
+    finally server.stop(0)
+  }
+
+  test("embed reorders out-of-order data entries by index") {
+    // OpenAI allows data[] in any order; vector j must land on text j
+    withEmbedServer { _ =>
+      """{"object":"list","data":[
+        |{"object":"embedding","index":2,"embedding":[2.0,2.0]},
+        |{"embedding":[0.0,0.5],"index":0,"object":"embedding"},
+        |{"object":"embedding","index":1,"embedding":[1.0,1.5]}
+        |],"model":"m"}""".stripMargin
+    } { url =>
+      val out = HttpServing(url, "m").embed(Seq("a", "b", "c"))
+      assert(out.map(_.toSeq) ==
+        Seq(Seq(0.0, 0.5), Seq(1.0, 1.5), Seq(2.0, 2.0)))
+    }
+  }
+
+  test("embed falls back to stream order when the server omits index") {
+    withEmbedServer { _ =>
+      """{"data":[{"embedding":[1.0]},{"embedding":[2.0]}]}"""
+    } { url =>
+      val out = HttpServing(url, "m").embed(Seq("a", "b"))
+      assert(out.map(_.toSeq) == Seq(Seq(1.0), Seq(2.0)))
+    }
+  }
+
+  test("embed rejects an index set that is not a permutation") {
+    withEmbedServer { _ =>
+      """{"data":[{"index":0,"embedding":[1.0]},{"index":0,"embedding":[2.0]}]}"""
+    } { url =>
+      intercept[IllegalArgumentException](HttpServing(url, "m").embed(Seq("a", "b")))
+    }
+  }
+
   test("json escaping survives quotes and newlines in prompts") {
     withServer { (_, req) =>
       assert(req.contains("\\\"quoted\\\"") && req.contains("\\n"))

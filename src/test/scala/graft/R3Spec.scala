@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Storage
+import graft.ops.text2sql._
+import graft.serving.MockServing
+
+/** Round-3 regressions: the cross-backend result-hash contract, set-op
+  * clause tracking in the Spider classifier, stable row ids in the
+  * execution classifier, early-termination connection cleanup, and the
+  * similarity join demonstrated at a threshold the test data can meet. */
+class R3Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private lazy val derbyUrl = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby_r3")
+    val url = s"jdbc:derby:${dir.toString}/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE r3t(x INT, s VARCHAR(16))")
+    st.execute("INSERT INTO r3t VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    st.close(); conn.close()
+    url.replace(";create=true", "")
+  }
+
+  test("identical result sets hash identically across both SqlBackends") {
+    // same rows via the Spark catalog and via Derby — multi-column so the
+    // cell separator itself is exercised (the r2 bug joined Spark-side
+    // cells with the 6-char literal "\\u0001", not the control char)
+    Seq((1, "a"), (2, "b"), (3, null.asInstanceOf[String]))
+      .toDF("x", "s").createOrReplaceTempView("r3t")
+    val stmts = Seq("SELECT x, s FROM r3t", "SELECT x, s FROM r3t WHERE x > 1")
+      .toDF("sql")
+    def hashes(b: SqlBackend) = b.execute(stmts, "sql", 5)
+      .select("sql", "__ok", "__hash").collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val viaSpark = hashes(SparkSessionBackend())
+    val viaJdbc = hashes(JdbcSqlBackend(derbyUrl))
+    viaSpark.keys.foreach { q =>
+      assert(viaSpark(q)._1 && viaJdbc(q)._1, s"$q failed to execute")
+      assert(viaSpark(q)._2 == viaJdbc(q)._2,
+        s"$q: spark=${viaSpark(q)._2} jdbc=${viaJdbc(q)._2}")
+    }
+  }
+
+  test("JdbcSqlBackend survives an early-terminating consumer") {
+    val stmts = (1 to 50).map(i => s"SELECT x FROM r3t WHERE x <= ${i % 4}")
+      .toDF("sql")
+    // limit() stops draining the partition iterators; the task-completion
+    // listener must still close every per-partition connection (no hang,
+    // and the database stays usable)
+    val one = JdbcSqlBackend(derbyUrl).execute(stmts, "sql", 5).limit(1).collect()
+    assert(one.length == 1)
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM r3t")
+    rs.next(); assert(rs.getInt(1) == 3)
+    conn.close()
+  }
+
+  test("spider classifier resets the clause tracker after a set operator") {
+    // pre-fix, UNION left clause=="from", so the second SELECT's column
+    // comma counted as an implicit join (comp1) instead of a select column
+    // (others) — hard instead of extra
+    val got = SpiderHardnessClassifier("sql")(
+      Seq("SELECT a FROM t UNION SELECT b, c FROM u").toDF("sql"))
+      .select("hardness").as[String].head()
+    assert(got == "extra", s"got $got")
+    // and a set-op query that IS plain stays below extra
+    val simple = SpiderHardnessClassifier("sql")(
+      Seq("SELECT a FROM t UNION SELECT b FROM u").toDF("sql"))
+      .select("hardness").as[String].head()
+    assert(simple == "hard", s"got $simple") // comp2 = 1, all else 0
+  }
+
+  test("execution classifier labels survive shuffled, multi-partition input") {
+    // row ids are materialized once (localCheckpoint); a repartitioned
+    // input must still attach each difficulty to its own row
+    val rows = (0 until 16).map { i =>
+      if (i % 2 == 0) (i.toLong, "```sql SELECT 1 AS x ```", "SELECT 1 AS x")
+      else (i.toLong, "```sql SELECT 1 AS x ```", "SELECT 2 AS x")
+    }
+    val df = rows.toDF("doc_id", "prompt", "gold").repartition(7, col("gold"))
+    val out = SQLExecutionClassifier("prompt", "gold", MockServing())(df)
+      .select("doc_id", "difficulty").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, _, gold) =>
+      val want = if (gold.endsWith("1 AS x")) "easy" else "extra"
+      assert(out(id) == want, s"row $id: got ${out(id)} want $want")
+    }
+  }
+
+  test("similarity join finds real pairs in the synthetic embeddings") {
+    // max pairwise cosine in the synthetic table is ~0.5; at 0.4 there are
+    // ~66 true pairs at sf0.001 — the 6-bit × 8-table configuration must
+    // surface a meaningful (deterministic) subset, and the exact verify
+    // guarantees zero false positives
+    val emb = Storage.table(spark, sf, "embeddings")
+    val pairs = graft.ops.sim.Similarity
+      .similarityJoin(emb, "embedding", "vec_id", threshold = 0.4,
+        bits = 6, tables = 8)
+      .select("a", "b", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.length > 0, "LSH similarity join found nothing at 0.4")
+    assert(pairs.forall(_._3 >= 0.4))
+  }
+}
