@@ -1133,6 +1133,40 @@ object SparkEntry {
           concat_ws("\n", transform(col("conversations"),
             x => concat(x("role"), lit(": "), x("content")))).as("conv_text"))
     },
+    "conv_multiturn2" -> oracled(
+      // the UNROLLED loop at maxTurns = 2: even rows complete in turn 1
+      // (<final> echoed back) so turn 2's generation is discarded; odd
+      // rows take a second assistant+tool turn whose assistant content is
+      // ASSIST over the whole turn-1 transcript and whose <func_call>
+      // extraction (first match) is the same fN → same tool answer
+      s"""WITH b AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'do <final>done</final> task ' || doc_id
+         |       ELSE 'call <func_call>f' || doc_id || '</func_call> now' END AS task,
+         |  'fn-' || doc_id AS fns FROM $D),
+         |p AS (SELECT doc_id, task || ' <SUB> ' || fns AS seed FROM b),
+         |l AS (SELECT doc_id,
+         |  'user: echo[USERGEN]:' || seed AS u_line,
+         |  'assistant: echo[ASSIST]:user: echo[USERGEN]:' || seed AS a1_line,
+         |  'tool: echo[TOOL]:f' || doc_id AS t_line FROM p)
+         |SELECT doc_id, CASE WHEN doc_id % 2 = 0
+         |  THEN u_line || chr(10) || a1_line
+         |  ELSE u_line || chr(10) || a1_line || chr(10) || t_line || chr(10) ||
+         |    'assistant: echo[ASSIST]:' || u_line || chr(10) || a1_line || chr(10) ||
+         |    t_line || chr(10) || t_line
+         |END AS conv_text FROM l""".stripMargin) { (s, dir) =>
+      val withCols = t(s, dir, D)
+        .withColumn("task",
+          when(col("doc_id") % 2 === 0,
+            concat(lit("do <final>done</final> task "), col("doc_id")))
+            .otherwise(concat(lit("call <func_call>f"), col("doc_id"),
+              lit("</func_call> now"))))
+        .withColumn("functions", concat(lit("fn-"), col("doc_id")))
+      MultiTurnConversationGenerator("task", Seq(), "functions", mock,
+        maxTurns = 2)(withCols)
+        .select(col("doc_id"),
+          concat_ws("\n", transform(col("conversations"),
+            x => concat(x("role"), lit(": "), x("content")))).as("conv_text"))
+    },
     "gen_question_fusion" -> oracled(
       s"""SELECT doc_id,
          |  'echo[FUSION:parallel]:' || text || ' <FUSE> alt ' || doc_id || '#0' AS fused_question_0,

@@ -1,0 +1,155 @@
+package graft.functions
+
+/** Shared imperative kernels behind the dedup / similarity operators AND
+  * their SQL-registered expressions ([[graft.GraftExtensions]]). One
+  * implementation per kernel — the operator UDFs and the Catalyst
+  * expressions both call these, so `spark.sql("SELECT simhash60(text)…")`
+  * is bit-identical to `SimHashDeduplicateFilter`'s internal fingerprint.
+  *
+  * All kernels are pure functions of their inputs with fixed constants —
+  * reproducible across runs, sessions, and cluster sizes.
+  */
+object kernels {
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Thread-local md5 (digest instances are not thread-safe; allocation
+    * per row would dominate the hot loops). */
+  def md5: java.security.MessageDigest = md5Local.get()
+
+  /** Non-empty whitespace tokens — the JVM-side twin of
+    * [[graft.functions.text.words]]. */
+  def splitWords(s: String): Array[String] =
+    if (s == null) Array.empty else s.split("\\s+").filter(_.nonEmpty)
+
+  // ── SimHash ────────────────────────────────────────────────────────────
+
+  /** 60-bit simhash over word tokens
+    * (reference `simhash_deduplicate_filter.py:15-85`): per-word 60-bit
+    * hash (md5 prefix = first 15 hex chars), ±1 bit votes, sign →
+    * fingerprint. */
+  def simhash60(ws: Iterable[String]): Long = {
+    val md = md5Local.get()
+    val votes = new Array[Int](60)
+    if (ws != null) ws.foreach { w =>
+      md.reset()
+      val d = md.digest(w.getBytes("UTF-8"))
+      var h = 0L
+      var bi = 0
+      while (bi < 8) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
+      h = h >>> 4 // first 60 bits = first 15 hex chars
+      var k = 0
+      while (k < 60) {
+        if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 60) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  // ── MinHash ────────────────────────────────────────────────────────────
+
+  /** Universal-hash permutation constants h_i(x) = (a_i·x + b_i) mod P
+    * over the 32-bit shingle hash; fixed constants → reproducible. */
+  val MINHASH_P = 4294967311L // prime > 2^32
+  private def minhashA(i: Int): Long = 2L * i + 3
+  private def minhashB(i: Int): Long = (i * 2654435761L + 12345) % MINHASH_P
+
+  /** Sorted distinct 64-bit word-shingle hashes (n-word shingles joined by
+    * a single space, Murmur3 high/low halves). 64-bit: the chance any
+    * pair's Jaccard is perturbed by a collision is ~|shingles|²/2⁶⁴. */
+  def shingleHashes(ws: Seq[String], n: Int): Array[Long] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (ws != null && ws.length >= n) {
+      var i = 0
+      while (i <= ws.length - n) {
+        val g = ws.slice(i, i + n).mkString(" ")
+        val h = scala.util.hashing.MurmurHash3.stringHash(g).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(g.reverse).toLong & 0xffffffffL)
+        set.add(h); i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    var i = 0
+    val it = set.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** LSH band bucket keys from the hashed shingle set: minhash signature
+    * of `numPerm` permutations, split into `bands` bands of
+    * numPerm/bands rows; key = "band:hash(rows)". Empty input → no keys
+    * (never a candidate). */
+  def minhashBandKeys(hs: Seq[Long], numPerm: Int, bands: Int): Array[String] = {
+    if (hs == null || hs.isEmpty) return Array.empty[String]
+    val rb = numPerm / bands
+    val m = hs.length
+    val arr = new Array[Long](m)
+    var j = 0
+    hs.foreach { h => arr(j) = h & 0xffffffffL; j += 1 }
+    val sig = new Array[Long](numPerm)
+    var i = 0
+    while (i < numPerm) {
+      val ai = minhashA(i); val bi = minhashB(i)
+      var mn = Long.MaxValue
+      var k = 0
+      while (k < m) {
+        val h = (ai * arr(k) + bi) % MINHASH_P
+        if (h < mn) mn = h
+        k += 1
+      }
+      sig(i) = mn; i += 1
+    }
+    Array.tabulate(bands)(bi =>
+      bi + ":" + java.util.Arrays.hashCode(
+        java.util.Arrays.copyOfRange(sig, bi * rb, (bi + 1) * rb)))
+  }
+
+  // ── Random-hyperplane LSH ──────────────────────────────────────────────
+
+  /** Deterministic pseudo-random hyperplanes: plane p, component i has
+    * weight in {-1, +1} from a fixed integer mix. */
+  private def planeWeight(p: Int, i: Int): Double = {
+    var h = p * 1000003 + i * 7919 + 12345
+    h ^= (h << 13); h ^= (h >>> 17); h ^= (h << 5)
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  /** Precomputed weight matrix for (bits, dim, tables), cached JVM-wide —
+    * the expression-tree equivalent (tables × bits × dim terms) blows up
+    * codegen. */
+  def planes(bits: Int, dim: Int, tables: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dim, tables),
+      _ => Array.tabulate(tables * bits, dim)(planeWeight))
+
+  /** One sign-bucket key per table, namespaced "t:bucket" so tables never
+    * cross-match; explode + join on the key gives OR-amplification. */
+  def lshBuckets(vec: Seq[Double], bits: Int, dim: Int,
+      tables: Int): Array[String] = {
+    if (vec == null || vec.isEmpty) return Array.empty[String]
+    val w = planes(bits, dim, tables)
+    val arr = vec.toArray
+    Array.tabulate(tables) { ti =>
+      var code = 0L
+      var bi = 0
+      while (bi < bits) {
+        val wp = w(ti * bits + bi)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(wp.length, arr.length)
+        while (i < n) { dot += arr(i) * wp(i); i += 1 }
+        if (dot > 0) code |= (1L << bi)
+        bi += 1
+      }
+      s"$ti:$code"
+    }
+  }
+}

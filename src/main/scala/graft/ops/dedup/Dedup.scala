@@ -94,68 +94,22 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
   val inputKeys = Seq(inputKey, orderKey)
   val outputKeys = Nil
 
-  private val rowsPerBand = numPerm / bands
-  // Universal-hash permutations h_i(x) = (a_i * x + b_i) mod p over the
-  // 32-bit shingle hash; fixed constants → reproducible across runs.
-  private val P = 4294967311L // prime > 2^32
-  private val as: Array[Long] = Array.tabulate(numPerm)(i => 2L * i + 3)
-  private val bs: Array[Long] =
-    Array.tabulate(numPerm)(i => (i * 2654435761L + 12345) % P)
-
   /** Sorted distinct 64-bit shingle hashes per doc — hashed ONCE per
     * document, so the pair-verify below is a cheap merge-walk instead of
     * per-pair string hashing. 64-bit: the chance any pair's Jaccard is
     * perturbed by a collision is ~|shingles|²/2⁶⁴ ≈ 1e-13 — the
-    * exact-string SQL oracle still reproduces decisions. */
+    * exact-string SQL oracle still reproduces decisions.
+    * Kernel shared with the SQL-registered `minhash_bands`
+    * ([[graft.functions.kernels]]). */
   private val shingleHashes = {
     val nn = ngram
-    udf { ws: Seq[String] =>
-      val set = new java.util.TreeSet[java.lang.Long]()
-      if (ws != null && ws.length >= nn) {
-        var i = 0
-        while (i <= ws.length - nn) {
-          val g = ws.slice(i, i + nn).mkString(" ")
-          val h = scala.util.hashing.MurmurHash3.stringHash(g).toLong << 32 |
-            (scala.util.hashing.MurmurHash3.stringHash(g.reverse).toLong & 0xffffffffL)
-          set.add(h); i += 1
-        }
-      }
-      val out = new Array[Long](set.size)
-      var i = 0
-      val it = set.iterator()
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      out
-    }
+    udf { ws: Seq[String] => graft.functions.kernels.shingleHashes(ws, nn) }
   }
 
   /** Band bucket keys from the hashed shingle set (LSH pruning only). */
   private val bandKeys = {
-    val (a, b, p, np, rb, nb) = (as, bs, P, numPerm, rowsPerBand, bands)
-    udf { hs: Seq[Long] =>
-      if (hs == null || hs.isEmpty) Array.empty[String]
-      else {
-        val m = hs.length
-        val arr = new Array[Long](m)
-        var j = 0
-        hs.foreach { h => arr(j) = h & 0xffffffffL; j += 1 }
-        val sig = new Array[Long](np)
-        var i = 0
-        while (i < np) {
-          val ai = a(i); val bi = b(i)
-          var mn = Long.MaxValue
-          var k = 0
-          while (k < m) {
-            val h = (ai * arr(k) + bi) % p
-            if (h < mn) mn = h
-            k += 1
-          }
-          sig(i) = mn; i += 1
-        }
-        Array.tabulate(nb)(bi =>
-          bi + ":" + java.util.Arrays.hashCode(
-            java.util.Arrays.copyOfRange(sig, bi * rb, (bi + 1) * rb)))
-      }
-    }
+    val (np, nb) = (numPerm, bands)
+    udf { hs: Seq[Long] => graft.functions.kernels.minhashBandKeys(hs, np, nb) }
   }
 
   /** Exact Jaccard over two SORTED long arrays — single merge walk. */
@@ -240,33 +194,10 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
   private def segWidth(s: Int): Int =
     if (s == SEGS - 1) BITS - s * segBits else segBits
 
-  /** 60-bit simhash: per-word 60-bit hash (md5 prefix), ±1 bit votes,
-    * sign → fingerprint. Imperative kernel with a reused digest instance
-    * and direct byte→long assembly (no hex round-trip) — the per-word
-    * hash value equals the first 15 hex chars of the md5, unchanged. */
-  private val simhashUdf = udf { ws: Seq[String] =>
-    val md = Dedup.md5Local.get()
-    val votes = new Array[Int](60)
-    if (ws != null) ws.foreach { w =>
-      md.reset()
-      val d = md.digest(w.getBytes("UTF-8"))
-      var h = 0L
-      var bi = 0
-      while (bi < 8) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
-      h = h >>> 4 // first 60 bits = first 15 hex chars
-      var k = 0
-      while (k < 60) {
-        if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
-        k += 1
-      }
-    }
-    var sig = 0L
-    var k = 0
-    while (k < 60) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
-    sig
-  }
-
-  def simhash(c: Column): Column = simhashUdf(words(c))
+  /** 60-bit simhash via the native expression shared with the
+    * SQL-registered `simhash60` — per-word 60-bit hash (md5 prefix),
+    * ±1 bit votes, sign → fingerprint ([[graft.functions.kernels]]). */
+  def simhash(c: Column): Column = graft.functions.hashExpressions.simhash60(c)
 
   def apply(df: DataFrame): DataFrame = {
     val withSig = df.select(col(orderKey), simhash(col(inputKey)).as("__sig"))

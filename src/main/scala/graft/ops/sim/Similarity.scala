@@ -82,42 +82,12 @@ object Similarity {
 }
 
 object CosineLsh {
-  /** Deterministic pseudo-random hyperplanes: plane p, component i has
-    * weight in {-1, +1} from a fixed integer mix — cheap, reproducible,
-    * and good enough for sign-bucket LSH. */
-  private def weight(p: Int, i: Int): Double = {
-    var h = p * 1000003 + i * 7919 + 12345
-    h ^= (h << 13); h ^= (h >>> 17); h ^= (h << 5)
-    if ((h & 1) == 0) 1.0 else -1.0
-  }
-
   /** One bucket key per table, namespaced "t:bucket" so tables never
     * cross-match; explode + join on the key gives OR-amplification.
-    * Imperative kernel with a precomputed weight matrix — the equivalent
-    * expression tree (tables × bits × dim terms) blows up codegen. */
-  def buckets(v: Column, bits: Int, dim: Int, tables: Int): Column = {
-    val w = Array.tabulate(tables * bits, dim)(weight)
-    val b = bits
-    val f = udf { vec: Seq[Double] =>
-      if (vec == null || vec.isEmpty) Array.empty[String]
-      else {
-        val arr = vec.toArray
-        Array.tabulate(w.length / b) { ti =>
-          var code = 0L
-          var bi = 0
-          while (bi < b) {
-            val wp = w(ti * b + bi)
-            var dot = 0.0
-            var i = 0
-            val n = math.min(wp.length, arr.length)
-            while (i < n) { dot += arr(i) * wp(i); i += 1 }
-            if (dot > 0) code |= (1L << bi)
-            bi += 1
-          }
-          s"$ti:$code"
-        }
-      }
-    }
-    f(v.cast("array<double>"))
-  }
+    * Imperative kernel with a cached precomputed weight matrix — the
+    * equivalent expression tree (tables × bits × dim terms) blows up
+    * codegen. Shared with the SQL-registered `cosine_lsh_buckets`
+    * ([[graft.functions.kernels]]). */
+  def buckets(v: Column, bits: Int, dim: Int, tables: Int): Column =
+    graft.functions.hashExpressions.lshBuckets(v, bits, dim, tables)
 }

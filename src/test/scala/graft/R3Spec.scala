@@ -91,6 +91,58 @@ class R3Spec extends AnyFunSuite {
     }
   }
 
+  test("SQL-registered hash functions match the operator kernels") {
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    s2.sql("SELECT 'the quick brown fox jumps over the lazy dog' AS text")
+      .createOrReplaceTempView("r3_txt")
+    // simhash60 == the SimHash op's internal fingerprint
+    val viaSql = s2.sql("SELECT simhash60(text) AS s FROM r3_txt")
+      .head().getLong(0)
+    val op = graft.ops.dedup.SimHashDeduplicateFilter("text", "doc_id")
+    val viaOp = s2.table("r3_txt").select(op.simhash(col("text")).as("s"))
+      .head().getLong(0)
+    assert(viaSql == viaOp)
+    assert(viaSql == graft.functions.kernels.simhash60(
+      "the quick brown fox jumps over the lazy dog".split(" ").toSeq))
+    // minhash_bands == the kernel over the same text
+    val bands = s2.sql("SELECT minhash_bands(text, 3, 128, 16) AS b FROM r3_txt")
+      .head().getSeq[String](0)
+    val hs = graft.functions.kernels.shingleHashes(
+      "the quick brown fox jumps over the lazy dog".split(" ").toSeq, 3)
+    assert(bands == graft.functions.kernels
+      .minhashBandKeys(hs.toSeq, 128, 16).toSeq)
+    assert(bands.length == 16 && bands.head.startsWith("0:"))
+    // cosine_lsh_buckets over a float array (implicit cast in the builder)
+    val buckets = s2.sql(
+      "SELECT cosine_lsh_buckets(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 8, 2, 4) AS b")
+      .head().getSeq[String](0)
+    assert(buckets == graft.functions.kernels
+      .lshBuckets(Seq(0.5, -0.25), 8, 2, 4).toSeq)
+    // and the registered cosine_sim still answers
+    val cos = s2.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("multi-turn generator unrolls a second turn for incomplete dialogs") {
+    import graft.ops.conversations.MultiTurnConversationGenerator
+    val df = Seq(
+      (0L, "do <final>done</final> now", "fn-0"),   // completes in turn 1
+      (1L, "call <func_call>f1</func_call> go", "fn-1") // loops twice
+    ).toDF("doc_id", "task", "functions")
+    val out = MultiTurnConversationGenerator("task", Seq(), "functions",
+      MockServing(), maxTurns = 2)(df)
+      .select(col("doc_id"), transform(col("conversations"),
+        x => x("role")).as("roles"))
+      .as[(Long, Seq[String])].collect().toMap
+    // final row: user + assistant only, turn 2 discarded
+    assert(out(0L) == Seq("user", "assistant"))
+    // looping row: user + (assistant, tool) × 2
+    assert(out(1L) == Seq("user", "assistant", "tool", "assistant", "tool"))
+  }
+
   test("similarity join finds real pairs in the synthetic embeddings") {
     // max pairwise cosine in the synthetic table is ~0.5; at 0.4 there are
     // ~66 true pairs at sf0.001 — the 6-bit × 8-table configuration must
