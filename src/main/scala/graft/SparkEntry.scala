@@ -875,12 +875,13 @@ object SparkEntry {
     },
     // The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
     // at sf0.01), so a 0.9 threshold correctly returns zero pairs; 0.4 has
-    // real matches (59 at sf0.01). 6 bits × 8 tables: per-bit collision
-    // p = 1 - arccos(0.4)/π ≈ 0.63 → recall ≈ 1-(1-p^6)^8 ≈ 0.4 at the
-    // threshold, rising steeply for closer pairs.
+    // real matches (59 at sf0.01). 8 bits × 16 tables: per-bit collision
+    // p = 1 - arccos(0.4)/π ≈ 0.63 → recall ≈ 1-(1-p^8)^16 ≈ 0.33 at the
+    // threshold (rising steeply for closer pairs) with ~half the candidate
+    // pairs of a 6-bit table set — more tables beats wider buckets.
     "sim_join" -> rowsOnly { (s, dir) =>
       Similarity.similarityJoin(t(s, dir, "embeddings"),
-        "embedding", "vec_id", threshold = 0.4, bits = 6, tables = 8)
+        "embedding", "vec_id", threshold = 0.4, bits = 8, tables = 16)
     },
     "mm_binary_meta" -> oracled(
       s"""SELECT doc_id, octet_length(encode(text)) AS byte_length,

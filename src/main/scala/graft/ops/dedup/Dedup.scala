@@ -127,8 +127,18 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
   }
 
   def apply(df: DataFrame): DataFrame = {
+    // The shingle table feeds the identical-set window, the banding pass,
+    // and BOTH sides of the pair verify — uncached, each consumer re-runs
+    // the shingle hashing over the whole corpus. Persist it (spills to
+    // disk at scale), materialize the duplicate ids eagerly, release.
     val withSh = df.select(col(orderKey),
       shingleHashes(words(col(inputKey))).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyOverShingles(df, withSh)
+    finally withSh.unpersist(false)
+  }
+
+  private def applyOverShingles(df: DataFrame, withSh: DataFrame): DataFrame = {
     // Skew phase: collapse IDENTICAL shingle sets first. Exact-duplicate
     // clusters (m copies of one doc) share every band, so the band
     // self-join would emit O(m²) candidate pairs per cluster — the 100 TB
@@ -170,6 +180,7 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
       .select(col("j").as(orderKey))
     val dups = identDups.union(bandDups).distinct()
+      .localCheckpoint() // eager: one id column — lets apply() unpersist
     df.join(dups, Seq(orderKey), "left_anti")
   }
 }
