@@ -1049,6 +1049,14 @@ object SparkEntry {
         withReasoningCols(t(s, dir, D)))
         .select("doc_id", "pseudo_answer")
     },
+    "gen_reasoning_question" -> oracled(
+      // seed problem → synthesized question
+      // (`reasoning_question_generator.py`)
+      s"SELECT doc_id, 'echo[QUESTIONGEN]:' || text AS generated_question FROM $D") {
+      (s, dir) =>
+        ReasoningQuestionGenerator("text", mock)(t(s, dir, D))
+          .select("doc_id", "generated_question")
+    },
     "conv_build_stats" -> oracled(
       s"""SELECT doc_id, 2::BIGINT AS n_turns, 1::BIGINT AS n_user_turns,
          |  CAST(length(text) + length('echo[ASSIST]:' || text) AS BIGINT)
@@ -1660,6 +1668,12 @@ object SparkEntry {
     "filter_sft_treeinstruct" -> scoredQ(
       TreeinstructFilter("text", mockScorer), "treeinstruct_score",
       s"$sqlMockScore BETWEEN 7 AND 100"),
+    "filter_pt_debertav3" -> scoredQ(
+      DebertaV3Filter("text", mockScorer), "debertav3_quality",
+      s"$sqlMockScore BETWEEN 1.0 AND 2.0"),
+    "filter_sft_instag" -> scoredQ(
+      InstagFilter("text", mockScorer), "instag_score",
+      s"$sqlMockScore BETWEEN 0.0 AND 1.0"),
     "eval_pt_model_score" -> oracled(
       s"SELECT doc_id, $sqlMockScore AS model_score FROM $D") { (s, dir) =>
       ModelScoreEvaluator("text", mockScorer, "model_score")(t(s, dir, D))
@@ -1865,6 +1879,34 @@ object SparkEntry {
       (s, dir) =>
         graft.ops.code.Phi4QAGenerator("text", mock)(t(s, dir, D))
           .select("doc_id", "generated_content")
+    },
+    "gen_code_instruction" -> oracled(
+      // seed → instruction (`code_gen_instruction.py:19`), the standalone
+      // sibling of the gen_code_chain ops
+      s"SELECT doc_id, 'echo[CODEINST]:' || text AS instruction FROM $D") {
+      (s, dir) =>
+        graft.ops.code.CodeInstructionGenerator("text", mock)(t(s, dir, D))
+          .select("doc_id", "instruction")
+    },
+    "filter_code_generic_score" -> oracled(
+      s"""SELECT doc_id, $sqlMockScore AS code_score
+         |FROM $D WHERE $sqlMockScore BETWEEN 2.0 AND 8.0""".stripMargin) {
+      (s, dir) =>
+        graft.ops.code.CodeGenericScoreFilter("text", mockScorer,
+          minScore = 2.0, maxScore = 8.0)(t(s, dir, D))
+          .select("doc_id", "code_score")
+    },
+    "eval_code_encoded" -> oracled(
+      // base64-ish blob or long hex run → encoded-data flag
+      // (`code_encoded_data_sample_evaluator`); the %3==1 code rows carry
+      // an 80-char QWER run that trips the 65+-char blob pattern
+      s"""WITH c AS (SELECT doc_id, $sqlCodeCol AS code FROM $D)
+         |SELECT doc_id, CAST(CASE WHEN regexp_matches(code, '[A-Za-z0-9+/=]{65,}')
+         |  OR regexp_matches(code, '(0x)?[0-9a-fA-F]{128,}') THEN 1 ELSE 0 END AS INT)
+         |  AS encoded_flag
+         |FROM c""".stripMargin) { (s, dir) =>
+      graft.ops.code.CodeEncodedDataSampleEvaluator("code")(
+        withCodeCol(t(s, dir, D))).select("doc_id", "encoded_flag")
     },
     "filter_langkit" -> oracled(
       s"""SELECT doc_id, n_chars FROM $D
