@@ -873,6 +873,11 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 5)
     },
+    "sim_ivf_topk" -> rowsOnly { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 5, nLists = 16, nProbe = 4)
+    },
     // The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
     // at sf0.01), so a 0.9 threshold correctly returns zero pairs; 0.4 has
     // real matches (59 at sf0.01). 8 bits × 16 tables: per-bit collision

@@ -64,6 +64,68 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer assigns
+    * every corpus vector to its nearest centroid (one narrow pass —
+    * centroids are tiny and live in the task closure); each query probes
+    * its `nProbe` nearest centroids and ranks exactly within those
+    * posting lists. The 100 TB shape: the corpus join key is the
+    * centroid id, so a query touches nProbe/nLists of the data instead
+    * of all of it; `nProbe = nLists` degrades to exact brute force
+    * (the recall test's invariant).
+    *
+    * Centroids come from MLlib KMeans over L2-normalized vectors (fixed
+    * seed) — nearest-by-dot-product on normalized inputs orders the same
+    * as cosine, matching the exact cosine rank inside each list. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, embKey: String,
+      idKey: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, maxTrain: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idKey).as("neighbor_id"),
+      col(embKey).cast("array<double>").as("__ce"))
+    val q = queries.select(col(idKey).as("query_id"),
+      col(embKey).cast("array<double>").as("__qe"))
+    val unit = udf { v: Seq[Double] =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v.toArray else v.map(_ / n).toArray
+    }
+    // few iterations: centroid quality only shapes recall-per-probe, the
+    // exact in-list ranking is centroid-agnostic — 5 Lloyd rounds is the
+    // IVF sweet spot, not convergence
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__nv").setPredictionCol("__list")
+    // quantizer trains on a bounded sample — full-corpus k-means at scale
+    // is wasted work; ANY centroid set yields correct (exact-ranked)
+    // results, centroid quality only shapes recall at a given nProbe
+    val trainDf = c.limit(maxTrain)
+      .select(array_to_vector(unit(col("__ce"))).as("__nv"))
+    val centers: Array[Array[Double]] =
+      km.fit(trainDf).clusterCenters.map(_.toArray)
+    val nearestLists = udf { (v: Seq[Double], probes: Int) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = if (n == 0) v.toArray else v.map(_ / n).toArray
+      centers.zipWithIndex.map { case (ct, i) =>
+        var dot = 0.0
+        var j = 0
+        val m = math.min(ct.length, u.length)
+        while (j < m) { dot += ct(j) * u(j); j += 1 }
+        (dot, i)
+      }.sortBy(-_._1).take(probes).map(_._2)
+    }
+    val assigned = c.withColumn("__list",
+      nearestLists(col("__ce"), lit(1))(0))
+    val probed = q.withColumn("__list",
+      explode(nearestLists(col("__qe"), lit(nProbe))))
+    val scored = assigned.join(broadcast(probed), Seq("__list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("__qe"), col("__ce")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** Cosine-similarity join: all pairs (a, b) with cos ≥ threshold, via
     * multi-table LSH buckets (candidates only, then exact check). */
   def similarityJoin(df: DataFrame, embKey: String, idKey: String,

