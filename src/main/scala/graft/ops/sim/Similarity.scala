@@ -1,7 +1,6 @@
 package graft.ops.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -19,6 +18,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.expressions.cosineSim(a, b)
 
+  /** Rank-explode a TopK aggregate: groupBy(query_id).agg(top-k) →
+    * (query_id, neighbor_id, rank). Map-side partial aggregation bounds
+    * the shuffle at k rows per task per query — a window row_number here
+    * would shuffle every scored candidate. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopK.column(k, col("cos"), col("neighbor_id")).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__s")))
+      .select(col("query_id"), col("__s.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("int").as("rank"))
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows (excluding itself), ties broken by corpus id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, embKey: String,
@@ -30,11 +40,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** Random-hyperplane LSH bucketing: `bits` sign-bits of dot products
@@ -57,11 +63,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer assigns
@@ -119,11 +121,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probed), Seq("__list"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** Cosine-similarity join: all pairs (a, b) with cos ≥ threshold, via

@@ -143,6 +143,37 @@ class R3Spec extends AnyFunSuite {
     assert(out(1L) == Seq("user", "assistant", "tool", "assistant", "tool"))
   }
 
+  test("top-k aggregation matches window ranking and avoids the window shuffle") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Storage.table(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = graft.ops.sim.Similarity
+      .bruteForceTopK(emb, queries, "embedding", "vec_id", k = 7)
+    // reference ranking via window row_number (what the oracle computes)
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("ce"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qe"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val want = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", graft.ops.sim.Similarity.cosine(col("qe"), col("ce")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 7)
+      .select("query_id", "neighbor_id", "rank")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(canon(got) == canon(want))
+    // the plan must rank via partial-aggregatable ObjectHashAggregate
+    // (map-side combine bounds the shuffle at k per task per query), with
+    // no Window exchange of the full scored set
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(plan.contains("partial_topkaggregator") ||
+      plan.toLowerCase.contains("partial_topk"), plan.take(600))
+  }
+
   test("IVF top-k with all lists probed equals exact brute force") {
     // probe-all is centroid-agnostic: every posting list is scanned, so
     // ranking must match brute force EXACTLY regardless of k-means quality
