@@ -288,15 +288,17 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
 
 /** Greedy k-center coreset selection over embeddings
   * (`kcentergreedy_filter.py:14-218`): keep k maximally-diverse rows.
-  * Inherently sequential-greedy → runs on the driver over collected
-  * vectors (the reference does the same in numpy). Deterministic: starts
-  * from the smallest id; ties break toward the smallest id.
+  * The final selection is sequential-greedy on the driver (the reference
+  * does the same in numpy), but the driver pool is built by a
+  * DISTRIBUTED pre-selection — greedy k-center is composable, so each
+  * range partition reduces its slice to its own ≤ k local centers
+  * (covering ALL rows, unlike a truncating prefix cap), and the driver
+  * merges ≤ preParts × k ≤ maxCandidates candidates. Driver memory is
+  * bounded by maxCandidates regardless of n.
   *
-  * Driver memory is bounded by `maxCandidates`, NOT by n: candidates are
-  * the first maxCandidates rows by orderKey (deterministic). Selection
-  * quality degrades gracefully when n > maxCandidates (coreset drawn
-  * from the capped prefix) — raise the cap or pre-sample upstream if the
-  * prefix is not representative. */
+  * Deterministic given the same input: range partitioning by orderKey,
+  * each greedy pass starts from its smallest id, distance ties break
+  * toward the smallest id. */
 final case class KCenterGreedyFilter(embKey: String = "embedding",
     orderKey: String = "vec_id", k: Int = 100,
     maxCandidates: Int = 200000) extends Op {
@@ -305,20 +307,51 @@ final case class KCenterGreedyFilter(embKey: String = "embedding",
   val inputKeys = Seq(embKey, orderKey)
   val outputKeys = Nil
   def apply(df: DataFrame): DataFrame = {
-    val rows = df.select(col(orderKey).cast("long"), col(embKey).cast("array<double>"))
-      .orderBy(col(orderKey)).limit(maxCandidates)
+    val preParts = math.max(1, math.min(64, maxCandidates / k))
+    val slim = df.select(col(orderKey).cast("long").as("__id"),
+      col(embKey).cast("array<double>").as("__v"))
+    val parted =
+      if (preParts > 1) slim.repartitionByRange(preParts, col("__id")) else slim
+    val kk = k
+    import org.apache.spark.sql.{Encoders, Row}
+    val candidates = parted.mapPartitions { it =>
+      val rows = it.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .toArray.sortBy(_._1)
+      if (rows.length <= kk) rows.iterator.map(r => Row(r._1, r._2.toSeq))
+      else {
+        val ids = KCenterGreedyFilter.greedy(rows, kk).toSet
+        rows.iterator.filter(r => ids(r._1)).map(r => Row(r._1, r._2.toSeq))
+      }
+    }(Encoders.row(parted.schema))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    if (rows.length <= k) return df
+    if (candidates.length <= k) return df
+    val chosen = KCenterGreedyFilter.greedy(candidates, k)
+    val keepDf = df.sparkSession
+      .createDataset(chosen.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF(orderKey)
+    df.join(broadcast(keepDf), Seq(orderKey), "left_semi")
+  }
+}
+
+object KCenterGreedyFilter {
+  /** Greedy 2-approx k-center over (id, vec) rows SORTED by id: seed at
+    * the smallest id, then repeatedly add the point with the largest
+    * min-distance to the chosen set (ties → smallest id via scan order).
+    * Returns min(k, n) chosen ids in selection order. */
+  private[dedup] def greedy(rows: Array[(Long, Array[Double])],
+      k: Int): Array[Long] = {
     val n = rows.length
     val dist = Array.fill(n)(Double.MaxValue)
     val chosen = new scala.collection.mutable.ArrayBuffer[Long](k)
     var next = 0
-    (0 until k).foreach { _ =>
+    var c = 0
+    while (c < k && c < n) {
       chosen += rows(next)._1
       val cv = rows(next)._2
-      var best = -1; var bestD = -1.0
+      var best = -1
+      var bestD = -1.0
       var i = 0
       while (i < n) {
         val d = Dedup.sqDist(rows(i)._2, cv)
@@ -327,11 +360,9 @@ final case class KCenterGreedyFilter(embKey: String = "embedding",
         i += 1
       }
       next = best
+      c += 1
     }
-    val keepDf = df.sparkSession
-      .createDataset(chosen.toSeq)(org.apache.spark.sql.Encoders.scalaLong)
-      .toDF(orderKey)
-    df.join(broadcast(keepDf), Seq(orderKey), "left_semi")
+    chosen.toArray
   }
 }
 

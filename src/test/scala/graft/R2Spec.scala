@@ -134,12 +134,22 @@ class R2Spec extends AnyFunSuite {
     assert(exact.subsetOf(lsh))
   }
 
-  test("kcenter cap bounds the driver collect deterministically") {
+  test("kcenter distributed pre-selection bounds the driver pool") {
+    // maxCandidates = 50, k = 10 → 5 range partitions, each reduced to
+    // its own 10 local centers (ALL rows covered — no prefix truncation),
+    // driver merges 50 candidates down to k
     val emb = Storage.table(spark, sf, "embeddings")
-    val capped = KCenterGreedyFilter("embedding", "vec_id", k = 10,
-      maxCandidates = 50)(emb).select("vec_id").as[Long].collect()
-    assert(capped.length == 10)
-    assert(capped.forall(_ < 50)) // candidates = first 50 by vec_id
+    def run() = KCenterGreedyFilter("embedding", "vec_id", k = 10,
+      maxCandidates = 50)(emb).select("vec_id").as[Long].collect().sorted
+    val out = run()
+    assert(out.length == 10)
+    // the greedy seed is the global min id (partition 1's local seed
+    // always survives into the merge, and the merge seeds at its min)
+    assert(out.contains(0L))
+    // candidates span the whole id range, not just a prefix
+    assert(out.exists(_ >= 50L))
+    // deterministic across runs
+    assert(run().toSeq == out.toSeq)
   }
 
   test("registry threads serving params into LLM-backed factories") {
