@@ -1547,11 +1547,30 @@ object SparkEntry {
           row_number().over(w).as("rn"),
           round(sum(col("l_quantity").cast("decimal(20,2)")).over(w).cast("double"), 2).as("run_qty"))
     },
-    "agg_mmd" -> rowsOnly { (s, dir) =>
+    "agg_mmd" -> oracled(
+      // RBF MMD² is plain SQL over the capped sample: k(a,b) =
+      // exp(-γ(|a|² + |b|² - 2a·b)); the three FILTERed averages are the
+      // xx / yy / xy kernel means. 6-dp round absorbs summation-order drift.
+      """WITH e AS (
+        |  SELECT label < 5 AS inx, embedding::DOUBLE[] AS v
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 500)
+        |), p AS (
+        |  SELECT a.inx AS ia, b.inx AS ib,
+        |    exp(CAST(-0.01 AS DOUBLE) * (
+        |      list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+        |      - 2 * list_dot_product(a.v, b.v))) AS kv
+        |  FROM e a, e b
+        |)
+        |SELECT round(
+        |    avg(kv) FILTER (WHERE ia AND ib)
+        |  + avg(kv) FILTER (WHERE NOT ia AND NOT ib)
+        |  - 2 * avg(kv) FILTER (WHERE ia AND NOT ib), 6) AS mmd
+        |FROM p""".stripMargin) { (s, dir) =>
       // orderBy before the driver-side sample cap → deterministic metric
       val v = CorpusEvaluators.mmdRbf(t(s, dir, "embeddings").orderBy("vec_id"),
         "embedding", col("label") < 5)
-      s.createDataFrame(Seq(Tuple1(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))))
+      s.createDataFrame(Seq(Tuple1(
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
         .toDF("mmd")
     })
 

@@ -5,8 +5,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 /** Extension-dispatched reader/writer, the Spark analogue of the
   * reference's `FileStorage` format dispatch
   * (`dataflow/utils/storage.py:534-556,631-698`). Formats: json, jsonl,
-  * csv, parquet. (pickle/xlsx and `hf:`/`ms:` remote URIs are declared
-  * unsupported in this environment; the dispatch is extensible.)
+  * csv, parquet, xlsx ([[graft.sources.Xlsx]], self-contained zip+XML
+  * codec). (pickle and `hf:`/`ms:` remote URIs are declared unsupported
+  * in this environment; the dispatch is extensible.)
   */
 object Storage {
 
@@ -17,6 +18,7 @@ object Storage {
     case "json" | "jsonl" => spark.read.json(path)
     case "csv"            => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     case "parquet"        => spark.read.parquet(path)
+    case "xlsx"           => graft.sources.Xlsx.read(spark, path)
     case other            => throw new IllegalArgumentException(s"unsupported format: .$other ($path)")
   }
 
@@ -24,6 +26,7 @@ object Storage {
     case "json" | "jsonl" => df.write.mode(mode).json(path)
     case "csv"            => df.write.mode(mode).option("header", "true").csv(path)
     case "parquet"        => df.write.mode(mode).parquet(path)
+    case "xlsx"           => graft.sources.Xlsx.write(df, path)
     case other            => throw new IllegalArgumentException(s"unsupported format: .$other ($path)")
   }
 

@@ -210,4 +210,50 @@ class R3Spec extends AnyFunSuite {
     assert(pairs.length > 0, "LSH similarity join found nothing at 0.4")
     assert(pairs.forall(_._3 >= 0.4))
   }
+
+  test("xlsx round-trips typed columns through Storage dispatch") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx").toString
+    val path = s"$dir/out.xlsx"
+    val df = Seq(
+      (1L, "alpha", 1.5, true, "x & <y> \"z\""),
+      (2L, "beta", -0.25, false, "plain"),
+      (3L, "gamma", 1e6, true, "ünïcode ✓")
+    ).toDF("id", "name", "score", "flag", "note")
+    Storage.write(df, path)
+    val back = Storage.read(spark, path)
+    assert(back.columns.toSeq == Seq("id", "name", "score", "flag", "note"))
+    // numeric columns come back as double (xlsx has one numeric type),
+    // booleans as boolean, text as string
+    assert(back.schema("id").dataType.typeName == "double")
+    assert(back.schema("flag").dataType.typeName == "boolean")
+    assert(back.schema("note").dataType.typeName == "string")
+    val got = back.orderBy("id")
+      .as[(Double, String, Double, Boolean, String)].collect().toSeq
+    assert(got == Seq(
+      (1.0, "alpha", 1.5, true, "x & <y> \"z\""),
+      (2.0, "beta", -0.25, false, "plain"),
+      (3.0, "gamma", 1e6, true, "ünïcode ✓")))
+  }
+
+  test("xlsx reader handles nulls, shared-string-free sheets, wide columns") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx2").toString
+    val path = s"$dir/nulls.xlsx"
+    val df = Seq(
+      (Some("a"), Option.empty[Double], 1),
+      (None, Some(2.5), 2),
+      (Some("c"), Some(3.5), 3)
+    ).toDF("s", "d", "i")
+    Storage.write(df, path)
+    val back = Storage.read(spark, path).orderBy("i")
+    val rows = back.select("s", "d").collect()
+    assert(rows(1).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(2).getString(0) == "c" && rows(2).getDouble(1) == 3.5)
+    // 27+ columns exercises two-letter A1 references (AA…)
+    val wide = spark.range(1).select((0 until 30).map(i => lit(i).as(s"c$i")): _*)
+    val wpath = s"$dir/wide.xlsx"
+    Storage.write(wide, wpath)
+    val wback = Storage.read(spark, wpath)
+    assert(wback.columns.length == 30)
+    assert(wback.head().getDouble(29) == 29.0)
+  }
 }
