@@ -536,6 +536,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity").cast("decimal(20,2)")).cast("double"), 2).as("sum_qty"))
     },
+    "source_xlsx_roundtrip" -> oracled(
+      // end-to-end codec gate: write a slice through the xlsx sink, read
+      // it back through the xlsx source, oracle against the parquet
+      // original (xlsx numerics are untyped → DOUBLE on both sides)
+      """SELECT CAST(doc_id AS DOUBLE) AS doc_id, md5(text) AS digest,
+        |  CAST(n_chars AS DOUBLE) AS n_chars
+        |FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50)""".stripMargin) {
+      (s, dir) =>
+        val src = t(s, dir, D).orderBy("doc_id").limit(50)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"),
+            col("n_chars"))
+        val path = java.nio.file.Files.createTempDirectory("graft_xlsx")
+          .toString + "/docs.xlsx"
+        Storage.write(src, path)
+        Storage.read(s, path)
+    },
     "setop_union_users" -> oracled(
       """SELECT user_id FROM events WHERE event_type = 'purchase'
         |UNION

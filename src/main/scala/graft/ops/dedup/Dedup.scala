@@ -267,21 +267,26 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
   def apply(df: DataFrame): DataFrame = {
     val v = df.select(col(orderKey), col(embKey).cast("array<double>").as("__v"))
     val cos = Dedup.cosine(col("vi"), col("vj"))
-    val cand =
+    val dups =
       if (mode == "exact") {
         val l = v.select(col(orderKey).as("i"), col("__v").as("vi"))
         val r = v.select(col(orderKey).as("j"), col("__v").as("vj"))
-        l.crossJoin(r).where(col("i") < col("j"))
+        l.crossJoin(r).where(col("i") < col("j")).where(cos >= 1.0 - eps)
+          .select(col("j").as(orderKey)).distinct()
       } else {
         val bucketed = v.withColumn("__bucket", explode(
           graft.ops.sim.CosineLsh.buckets(col("__v"), bits, dim, tables)))
         val l = bucketed.select(col(orderKey).as("i"), col("__v").as("vi"), col("__bucket"))
         val r = bucketed.select(col(orderKey).as("j"), col("__v").as("vj"), col("__bucket"))
+        // exact-verify INSIDE the bucket join, before any exchange: only
+        // the surviving duplicate ids (one long each) reach the distinct
+        // shuffle — never candidate rows dragging two embedding arrays.
+        // A pair colliding in several tables re-scores (64 FLOPs) and
+        // then dedups by id, which the final distinct() already does.
         l.join(r, Seq("__bucket")).where(col("i") < col("j"))
-          .select("i", "j", "vi", "vj").dropDuplicates("i", "j")
+          .where(cos >= 1.0 - eps)
+          .select(col("j").as(orderKey)).distinct()
       }
-    val dups = cand.where(cos >= 1.0 - eps)
-      .select(col("j").as(orderKey)).distinct()
     df.join(dups, Seq(orderKey), "left_anti")
   }
 }

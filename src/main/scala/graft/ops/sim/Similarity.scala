@@ -59,10 +59,16 @@ object Similarity {
     val q = queries.select(col(idKey).as("query_id"),
       col(embKey).cast("array<double>").as("__qe"))
       .withColumn("__bucket", explode(CosineLsh.buckets(col("__qe"), bits, dim, tables)))
+    // cosine BEFORE the pair-dedup: the distinct shuffle then moves
+    // (query_id, neighbor_id, cos) — ~24 bytes — instead of dragging both
+    // embedding arrays (~1 KB/row) through the exchange; re-scoring a
+    // pair that collides in several tables is 64 FLOPs, far cheaper than
+    // shuffling its vectors once
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
+      .select("query_id", "neighbor_id", "cos")
+      .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
 
@@ -133,11 +139,16 @@ object Similarity {
       .withColumn("__bucket", explode(CosineLsh.buckets(col("__v"), bits, dim, tables)))
     val l = v.select(col(idKey).as("a"), col("__v").as("va"), col("__bucket"))
     val r = v.select(col(idKey).as("b"), col("__v").as("vb"), col("__bucket"))
+    // exact-verify BEFORE the pair-dedup: filtering at the threshold and
+    // projecting to (a, b, cos) first means the distinct shuffle carries
+    // only surviving ~24-byte rows, not every candidate with two 1 KB
+    // vectors attached; duplicate-table collisions re-score (64 FLOPs)
+    // instead of re-shuffling
     l.join(r, Seq("__bucket")).where(col("a") < col("b"))
-      .dropDuplicates("a", "b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
+      .dropDuplicates("a", "b")
   }
 }
 
