@@ -6,8 +6,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * reference's `FileStorage` format dispatch
   * (`dataflow/utils/storage.py:534-556,631-698`). Formats: json, jsonl,
   * csv, parquet, xlsx ([[graft.sources.Xlsx]], self-contained zip+XML
-  * codec). (pickle and `hf:`/`ms:` remote URIs are declared unsupported
-  * in this environment; the dispatch is extensible.)
+  * codec), pkl/pickle ([[graft.sources.Pickle]], self-contained
+  * data-subset pickle VM). (`hf:`/`ms:` remote URIs are declared
+  * unsupported in this zero-egress environment; the dispatch is
+  * extensible.)
   */
 object Storage {
 
@@ -19,6 +21,7 @@ object Storage {
     case "csv"            => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     case "parquet"        => spark.read.parquet(path)
     case "xlsx"           => graft.sources.Xlsx.read(spark, path)
+    case "pkl" | "pickle" => graft.sources.Pickle.read(spark, path)
     case other            => throw new IllegalArgumentException(s"unsupported format: .$other ($path)")
   }
 
@@ -27,6 +30,7 @@ object Storage {
     case "csv"            => df.write.mode(mode).option("header", "true").csv(path)
     case "parquet"        => df.write.mode(mode).parquet(path)
     case "xlsx"           => graft.sources.Xlsx.write(df, path)
+    case "pkl" | "pickle" => graft.sources.Pickle.write(df, path)
     case other            => throw new IllegalArgumentException(s"unsupported format: .$other ($path)")
   }
 

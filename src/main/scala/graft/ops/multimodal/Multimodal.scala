@@ -6,10 +6,12 @@ import org.apache.spark.sql.types._
 import graft.core.Op
 
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
-  * typed metadata. The Spark-side plumbing (schema, partitioning, batch
-  * shape) is real; the actual media decode is STUBBED deterministically —
-  * this container ships no image/audio libraries, and the decode seam is
-  * exactly one function to swap for a real codec.
+  * typed metadata. Real decode lives in [[MediaCodec]] ([[ImageDecoder]],
+  * [[ImageResizer]], [[WavMetadataEvaluator]] over the JDK's ImageIO and
+  * javax.sound readers). The *Stub ops below are kept as hermetic test
+  * doubles: deterministic fake dims for pipelines that must not depend on
+  * codec output (and as the swap seam for formats the JDK cannot parse,
+  * e.g. video containers).
   */
 
 /** Typed metadata over a binary column: byte length, digest, magic-byte

@@ -256,4 +256,145 @@ class R3Spec extends AnyFunSuite {
     assert(wback.columns.length == 30)
     assert(wback.head().getDouble(29) == 29.0)
   }
+
+  test("pickle codec round-trips typed rows with nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("pkl1").toString
+    val df = Seq(
+      (1L, Some("alpha"), Some(1.5), Some(true)),
+      (2L, None, Some(-0.25), Some(false)),
+      (3L, Some("ünïcode ✓"), None, None)
+    ).toDF("id", "s", "d", "b")
+    val path = s"$dir/t.pkl"
+    Storage.write(df, path)
+    val back = Storage.read(spark, path).orderBy("id")
+    assert(back.schema.map(_.dataType) ==
+      Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.DoubleType,
+        org.apache.spark.sql.types.BooleanType))
+    val rows = back.collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "alpha"
+      && rows(0).getDouble(2) == 1.5 && rows(0).getBoolean(3))
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
+    assert(rows(2).getString(1) == "ünïcode ✓")
+  }
+
+  test("pickle interop with Python's own pickler (both directions)") {
+    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => new java.io.File(p).exists())
+      .orElse(Option("python3"))
+    val dir = java.nio.file.Files.createTempDirectory("pkl2").toString
+    // Python writes protocols 2 AND 5 (memoized strings, frames); we read
+    val script =
+      s"""import pickle
+         |rows = [{'id': i, 'tag': 'dup' if i % 2 else 'dup', 'v': i / 4}
+         |        for i in range(6)]
+         |pickle.dump(rows, open('$dir/p2.pkl', 'wb'), protocol=2)
+         |pickle.dump(rows, open('$dir/p5.pkl', 'wb'), protocol=5)
+         |""".stripMargin
+    val wr = new ProcessBuilder("python3", "-c", script).inheritIO().start()
+    assume(wr.waitFor() == 0, "python3 unavailable; interop skipped")
+    for (f <- Seq("p2.pkl", "p5.pkl")) {
+      val df = Storage.read(spark, s"$dir/$f").orderBy("id")
+      assert(df.count() == 6)
+      val r = df.collect()
+      assert(r(5).getLong(0) == 5 && r(5).getString(1) == "dup"
+        && r(5).getDouble(2) == 1.25)
+    }
+    // we write, Python reads back and checks values
+    Seq((1L, "x", 2.5), (2L, "y", -1.0)).toDF("id", "s", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .transform { d => Storage.write(d, s"$dir/ours.pkl"); d }
+    val check = new ProcessBuilder("python3", "-c",
+      s"""import pickle
+         |rows = pickle.load(open('$dir/ours.pkl', 'rb'))
+         |rows.sort(key=lambda r: r['id'])
+         |assert rows == [{'id': 1, 's': 'x', 'v': 2.5},
+         |                {'id': 2, 's': 'y', 'v': -1.0}], rows
+         |""".stripMargin).inheritIO().start()
+    assert(check.waitFor() == 0, "python3 rejected our pickle")
+  }
+
+  test("pickle reader refuses object-reconstruction opcodes") {
+    val dir = java.nio.file.Files.createTempDirectory("pkl3").toString
+    val evil = new ProcessBuilder("python3", "-c",
+      s"""import pickle, os
+         |class Evil:
+         |    def __reduce__(self):
+         |        return (os.getcwd, ())
+         |pickle.dump([{'x': Evil()}], open('$dir/evil.pkl', 'wb'), protocol=2)
+         |""".stripMargin).inheritIO().start()
+    assume(evil.waitFor() == 0, "python3 unavailable; skipped")
+    val e = intercept[Exception](Storage.read(spark, s"$dir/evil.pkl").collect())
+    assert(e.getMessage.contains("unsupported opcode"))
+  }
+
+  test("ImageIO codec round-trips pixels exactly (gray and RGB)") {
+    import graft.ops.multimodal.MediaCodec
+    val png = MediaCodec.encodeGrayPng(5, 3, (x, y) => (x * 50 + y * 7) % 256)
+    val d = MediaCodec.decodeImage(png).get
+    assert((d.width, d.height, d.channels) == (5, 3, 1))
+    val expected = (for { y <- 0 until 3; x <- 0 until 5 }
+      yield (x * 50 + y * 7) % 256).sum
+    assert(d.pixelSum == expected && d.pixelCount == 15)
+    // an RGB image through the same decoder: 3 bands, exact channel sums
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for { y <- 0 until 2; x <- 0 until 4 }
+      img.setRGB(x, y, (x << 16) | (y << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rgb = MediaCodec.decodeImage(bos.toByteArray).get
+    assert(rgb.channels == 3 && rgb.pixelCount == 24)
+    val rgbSum = (for { y <- 0 until 2; x <- 0 until 4 } yield x + y + 200).sum
+    assert(rgb.pixelSum == rgbSum)
+    // corrupt payloads must decode to None, not throw
+    assert(MediaCodec.decodeImage("not an image".getBytes).isEmpty)
+    assert(MediaCodec.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("nearest-neighbor resize uses the exact integer mapping") {
+    import graft.ops.multimodal.MediaCodec
+    // 8x4 gray, pixel = x*10 + y; downscale to maxSide 4 → 4x2,
+    // src(x,y) = (x*8/4, y*4/2) = (2x, 2y)
+    val png = MediaCodec.encodeGrayPng(8, 4, (x, y) => x * 10 + y)
+    val out = MediaCodec.resizeNearestPng(png, 4).get
+    val d = MediaCodec.decodeImage(out).get
+    assert((d.width, d.height) == (4, 2))
+    val expected = (for { y <- 0 until 2; x <- 0 until 4 }
+      yield (2 * x) * 10 + (2 * y)).sum
+    assert(d.pixelSum == expected)
+    // already small enough → byte-identical dims, identical pixels
+    val same = MediaCodec.resizeNearestPng(png, 8).get
+    val ds = MediaCodec.decodeImage(same).get
+    assert((ds.width, ds.height, ds.pixelSum) == (8, 4,
+      MediaCodec.decodeImage(png).get.pixelSum))
+  }
+
+  test("WAV encode/parse round trip via javax.sound") {
+    import graft.ops.multimodal.MediaCodec
+    val wav = MediaCodec.encodeWavPcm16(16000, 2, 120, (f, c) => f * 3 - c)
+    val m = MediaCodec.wavMeta(wav).get
+    assert(m.sampleRate == 16000 && m.channels == 2 && m.bits == 16)
+    assert(m.frames == 120)
+    assert(math.abs(m.durationMs - 7.5) < 1e-9)
+    assert(MediaCodec.wavMeta("RIFFgarbage".getBytes).isEmpty)
+  }
+
+  test("ImageDecoder/ImageResizer ops: null struct for corrupt rows") {
+    import graft.ops.multimodal.{ImageDecoder, ImageResizer, MediaCodec}
+    val rows = Seq(
+      (1L, MediaCodec.encodeGrayPng(6, 6, (x, y) => x + y)),
+      (2L, "corrupt".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val df = rows.toDF("id", "payload")
+    val dec = ImageDecoder("payload")(df).orderBy("id").collect()
+    assert(dec(0).getStruct(2).getInt(0) == 6)
+    assert(dec(1).isNullAt(2) && dec(2).isNullAt(2))
+    val res = ImageResizer("payload", "rp", 3)(df).orderBy("id").collect()
+    val rp = res(0).getAs[Array[Byte]]("rp")
+    val rd = MediaCodec.decodeImage(rp).get
+    assert((rd.width, rd.height) == (3, 3))
+    assert(res(1).isNullAt(2) && res(2).isNullAt(2))
+  }
 }
