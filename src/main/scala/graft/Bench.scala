@@ -1,6 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** One query's measurement: seconds for the TIMED pass, or an error.
+    * Each query runs twice — the first pass absorbs JIT/codegen/scan-infra
+    * warmup for that plan shape, the second is reported. A query that
+    * throws (either pass) is recorded as an error, never silently timed. */
+  final case class Result(seconds: Double, error: Option[String])
+
+  private[graft] def runQueries(
+      spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      passes: Int = 2): Seq[(String, Result)] =
+    queries.toSeq.map { case (name, fn) =>
+      val r =
+        try {
+          var last = 0.0
+          var p = 0
+          while (p < passes) {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            last = (System.nanoTime() - t0) / 1e9
+            p += 1
+          }
+          Result(last, None)
+        } catch {
+          case e: Throwable =>
+            Result(-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
+        }
+      name -> r
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,11 +47,11 @@ object Bench {
     // doesn't absorb one-time JVM/session init
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+
+    val measured = runQueries(spark, sfDir, SparkEntry.queries)
+    val results = measured.collect { case (n, Result(s, None)) => n -> s }.toMap
+    val errors = measured.collect { case (n, Result(_, Some(e))) => n -> e }
+
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only the last ~2000 chars of output, so the
     // metric line must stay well under that: report every query's time
@@ -29,6 +60,9 @@ object Bench {
     val qsAll = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"all_queries","queries":$qsAll}""")
+    errors.foreach { case (n, e) =>
+      println(s"""{"metric":"query_error","query":"$n","error":"${e.replace("\"", "'").replace("\\", "/")}"}""")
+    }
     val headline = Vector(
       "q1_pricing", "q3_revenue_by_customer", "q5_region_revenue",
       "join_bucketed", "sort_topk_orders", "window_running_sum",
@@ -40,7 +74,9 @@ object Bench {
       "text_fingerprint")
     val qs = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nqueries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // failure-honest: any query that threw makes the bench itself red
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

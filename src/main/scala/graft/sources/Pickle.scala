@@ -48,22 +48,26 @@ object Pickle {
 
   private[sources] def readStream(spark: SparkSession, in: InputStream): DataFrame = {
     val obj = new Reader(in).load()
-    val records: Seq[Map[Any, Any]] = obj match {
-      case l: Seq[_] => l.map {
-        case m: Map[_, _] => m.asInstanceOf[Map[Any, Any]]
+    // The VM builds mutable collections (ArrayBuffer / LinkedHashMap), so
+    // match the scala.collection supertypes — `case l: Seq[_]` alone would
+    // only match immutable.Seq on 2.13 and reject every loaded pickle.
+    val records: Seq[Seq[(Any, Any)]] = obj match {
+      case l: scala.collection.Seq[_] => l.toSeq.map {
+        case m: scala.collection.Map[_, _] =>
+          m.asInstanceOf[scala.collection.Map[Any, Any]].toSeq
         case other => throw new IllegalArgumentException(
           s"pickle: expected a list of dicts, found list element ${other.getClass.getSimpleName}")
       }
       // a dict of column -> list (pandas to_dict("list")) transposes
-      case m: Map[_, _] =>
-        val cols = m.asInstanceOf[Map[Any, Any]].toSeq.map {
-          case (k, v: Seq[_]) => (k, v)
+      case m: scala.collection.Map[_, _] =>
+        val cols = m.asInstanceOf[scala.collection.Map[Any, Any]].toSeq.map {
+          case (k, v: scala.collection.Seq[_]) => (k, v.toSeq)
           case (k, v) => throw new IllegalArgumentException(
             s"pickle: dict-of-lists expected, key $k maps to ${v.getClass.getSimpleName}")
         }
         val n = cols.headOption.map(_._2.length).getOrElse(0)
         require(cols.forall(_._2.length == n), "pickle: ragged dict-of-lists")
-        (0 until n).map(i => cols.map { case (k, vs) => (k, vs(i)) }.toMap)
+        (0 until n).map(i => cols.map { case (k, vs) => (k, vs(i)) })
       case other => throw new IllegalArgumentException(
         s"pickle: top-level ${if (other == null) "None" else other.getClass.getSimpleName} is not tabular")
     }
@@ -101,10 +105,10 @@ object Pickle {
 
   // ---- schema inference ---------------------------------------------------
 
-  private def toDataFrame(spark: SparkSession, records: Seq[Map[Any, Any]]): DataFrame = {
+  private def toDataFrame(spark: SparkSession, records: Seq[Seq[(Any, Any)]]): DataFrame = {
     // union of keys, first-seen order
     val cols = ArrayBuffer[String]()
-    records.foreach(_.keys.foreach { k =>
+    records.foreach(_.foreach { case (k, _) =>
       val s = k.toString
       if (!cols.contains(s)) cols += s
     })
@@ -124,7 +128,7 @@ object Pickle {
     }
     val schema = StructType(types.toSeq)
     val rows = records.map { m =>
-      val byName = m.map { case (k, v) => (k.toString, v) }
+      val byName = m.map { case (k, v) => (k.toString, v) }.toMap
       Row.fromSeq(cols.map { c =>
         (byName.getOrElse(c, null), schema(c.toString).dataType) match {
           case (null, _) => null
@@ -145,9 +149,10 @@ object Pickle {
 
   private def stringify(v: Any): String = v match {
     case b: Array[Byte] => new String(b, UTF_8)
-    case s: Seq[_] => s.map(stringify).mkString("[", ", ", "]")
-    case m: Map[_, _] => m.map { case (k, x) => s"${stringify(k)}: ${stringify(x)}" }
-      .mkString("{", ", ", "}")
+    case s: scala.collection.Seq[_] => s.map(stringify).mkString("[", ", ", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => s"${stringify(k)}: ${stringify(x)}" }
+        .mkString("{", ", ", "}")
     case other => other.toString
   }
 
@@ -204,8 +209,10 @@ object Pickle {
       stack.removeLast() // the mark
       items.toSeq
     }
-    private def toPairsMap(items: Seq[Any]): Map[Any, Any] =
-      items.grouped(2).collect { case Seq(k, v) => (k, v) }.toMap
+    private def toPairs(items: Seq[Any]): Seq[(Any, Any)] = {
+      require(items.length % 2 == 0, "pickle: DICT with odd key/value count")
+      items.grouped(2).map { case Seq(k, v) => (k, v) }.toSeq
+    }
 
     def load(): Any = {
       while (true) {
@@ -275,7 +282,7 @@ object Pickle {
             val items = popMark()
             stack.last.asInstanceOf[ArrayBuffer[Any]] ++= items
           case '}' => stack.append(mutable.LinkedHashMap[Any, Any]()) // EMPTY_DICT
-          case 'd' => stack.append(mutable.LinkedHashMap(toPairsMap(popMark()).toSeq: _*)) // DICT
+          case 'd' => stack.append(mutable.LinkedHashMap(toPairs(popMark()): _*)) // DICT
           case 's' => // SETITEM
             val v = stack.removeLast(); val k = stack.removeLast()
             stack.last.asInstanceOf[mutable.LinkedHashMap[Any, Any]] += ((k, v))
@@ -329,10 +336,12 @@ object Pickle {
       case d: scala.math.BigDecimal => writeDouble(d.doubleValue)
       case s: String => writeString(s)
       case b: Array[Byte] => writeBytes(b)
-      case s: Seq[_] =>
+      // Spark array/map column values surface as mutable.ArraySeq /
+      // collection.Map — match the collection supertypes (2.13).
+      case s: scala.collection.Seq[_] =>
         out.write(']')
         if (s.nonEmpty) { mark(); s.foreach(value); appends() }
-      case m: Map[_, _] =>
+      case m: scala.collection.Map[_, _] =>
         out.write('}')
         if (m.nonEmpty) {
           mark()

@@ -282,7 +282,7 @@ class R3Spec extends AnyFunSuite {
   test("pickle interop with Python's own pickler (both directions)") {
     val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
       .find(p => new java.io.File(p).exists())
-      .orElse(Option("python3"))
+      .getOrElse("python3")
     val dir = java.nio.file.Files.createTempDirectory("pkl2").toString
     // Python writes protocols 2 AND 5 (memoized strings, frames); we read
     val script =
@@ -292,7 +292,7 @@ class R3Spec extends AnyFunSuite {
          |pickle.dump(rows, open('$dir/p2.pkl', 'wb'), protocol=2)
          |pickle.dump(rows, open('$dir/p5.pkl', 'wb'), protocol=5)
          |""".stripMargin
-    val wr = new ProcessBuilder("python3", "-c", script).inheritIO().start()
+    val wr = new ProcessBuilder(python, "-c", script).inheritIO().start()
     assume(wr.waitFor() == 0, "python3 unavailable; interop skipped")
     for (f <- Seq("p2.pkl", "p5.pkl")) {
       val df = Storage.read(spark, s"$dir/$f").orderBy("id")
@@ -305,7 +305,7 @@ class R3Spec extends AnyFunSuite {
     Seq((1L, "x", 2.5), (2L, "y", -1.0)).toDF("id", "s", "v")
       .coalesce(1).sortWithinPartitions("id")
       .transform { d => Storage.write(d, s"$dir/ours.pkl"); d }
-    val check = new ProcessBuilder("python3", "-c",
+    val check = new ProcessBuilder(python, "-c",
       s"""import pickle
          |rows = pickle.load(open('$dir/ours.pkl', 'rb'))
          |rows.sort(key=lambda r: r['id'])
