@@ -20,9 +20,17 @@ object Ops {
 
   @volatile private var registered = false
 
+  /** Resolve a by-name pipeline's `prompt_template` param through
+    * [[graft.core.PromptRegistry]], enforcing the op's allow-list —
+    * the reference's `PROMPT_REGISTRY` + `prompt_restrict` seam
+    * (`utils/registry.py:259`, `core/prompt.py:29-81`). */
+  private def template(opName: String, p: Params): Option[graft.core.PromptTemplate] =
+    p.get("prompt_template").map(graft.core.PromptRegistry.resolve(opName, _))
+
   def registerAll(): Unit = synchronized {
     if (registered) return
     registered = true
+    registerPrompts()
     val entries: Seq[(String, Params => Op)] = Seq(
       "word_number_filter" -> (p => WordNumberFilter(key(p), i(p, "min", 20), i(p, "max", 100000))),
       "colon_end_filter" -> (p => ColonEndFilter(key(p))),
@@ -87,9 +95,16 @@ object Ops {
       // LLM-backed factories resolve their client through
       // Registry.serving(p): serving=mock (default) | serving=http with
       // endpoint/model params | a host-installed provider
-      "prompted_generator" -> (p => graft.ops.gen.PromptedGenerator(key(p), p.getOrElse("output_key", "gen"), Registry.serving(p), p.getOrElse("system_prompt", ""))),
-      "prompted_filter" -> (p => graft.ops.gen.PromptedFilter(key(p), Registry.serving(p))),
-      "prompted_refiner" -> (p => graft.ops.gen.PromptedRefiner(key(p), Registry.serving(p))),
+      "prompted_generator" -> (p => template("prompted_generator", p) match {
+        case Some(t) => graft.ops.gen.FormatStrPromptedGenerator(
+          t.template, p.getOrElse("output_key", "gen"), Registry.serving(p), t.systemPrompt)
+        case None => graft.ops.gen.PromptedGenerator(key(p),
+          p.getOrElse("output_key", "gen"), Registry.serving(p), p.getOrElse("system_prompt", ""))
+      }),
+      "prompted_filter" -> (p => graft.ops.gen.PromptedFilter(key(p), Registry.serving(p),
+        template("prompted_filter", p).map(_.systemPrompt).getOrElse("JUDGE"))),
+      "prompted_refiner" -> (p => graft.ops.gen.PromptedRefiner(key(p), Registry.serving(p),
+        template("prompted_refiner", p).map(_.systemPrompt).getOrElse(""))),
       "prompted_evaluator" -> (p => graft.ops.gen.PromptedEvaluator(key(p), p.getOrElse("output_key", "score"), Registry.serving(p))),
       "sql_executability_filter" -> (p => graft.ops.text2sql.SQLExecutabilityFilter(p.getOrElse("input_key", "sql"))),
       "sql_component_classifier" -> (p => graft.ops.text2sql.SQLComponentClassifier(p.getOrElse("input_key", "sql"))),
@@ -215,5 +230,23 @@ object Ops {
       "bench_answer_generator" -> (p => graft.ops.gen.BenchAnswerGenerator(p.getOrElse("question_key", "question"), Registry.serving(p))),
       "smiles_equivalence_dataset_evaluator" -> (p => graft.core.TransformOp("smiles_equivalence_dataset_evaluator", Seq(p.getOrElse("gold_key", "golden_label"), p.getOrElse("synth_key", "synth_smiles")), Seq("total", "equivalent", "accuracy"), SmilesEquivalenceDatasetEvaluator(p.getOrElse("gold_key", "golden_label"), p.getOrElse("synth_key", "synth_smiles")).apply)))
     entries.foreach { case (n, f) => Registry.register(n)(f) }
+  }
+
+  /** Default prompt templates (the analogue of the `dataflow/prompts`
+    * package — core_text / text2qa / kbcleaning families) plus the per-op
+    * allow-lists the reference declares with `@prompt_restrict`. */
+  private def registerPrompts(): Unit = {
+    import graft.core.{PromptRegistry, PromptTemplate}
+    Seq(
+      PromptTemplate("core_text_generate", "{text}", systemPrompt = "GEN"),
+      PromptTemplate("core_text_judge", "{text}", systemPrompt = "JUDGE"),
+      PromptTemplate("core_text_refine", "{text}", systemPrompt = "REFINE"),
+      PromptTemplate("text2qa_question", "Q({lang}): {text}", systemPrompt = "QGEN"),
+      PromptTemplate("kbc_clean", "{text}", systemPrompt = "CLEAN"),
+    ).foreach(PromptRegistry.register)
+    PromptRegistry.restrict("prompted_generator",
+      "core_text_generate", "text2qa_question", "kbc_clean")
+    PromptRegistry.restrict("prompted_filter", "core_text_judge")
+    PromptRegistry.restrict("prompted_refiner", "core_text_refine", "kbc_clean")
   }
 }

@@ -734,20 +734,33 @@ object SparkEntry {
         Text2QAGenerator("text", mock)(t(s, dir, D))
           .select("doc_id", "question", "answer")
     },
-    "text_language_id" -> oracled {
-      def hits(l: String) =
-        s"len(list_filter(${sqlWords("lower(text)")}, w -> list_contains(${sqlLex(LanguageIdEvaluator.markers(l))}, w)))"
-      s"""WITH s AS (SELECT doc_id, ${hits("de")} AS sde, ${hits("en")} AS sen,
-         |  ${hits("es")} AS ses, ${hits("fr")} AS sfr FROM $D)
-         |SELECT doc_id, CASE
-         |  WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
-         |  WHEN sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
-         |  WHEN sen >= ses AND sen >= sfr THEN 'en'
-         |  WHEN ses >= sfr THEN 'es' ELSE 'fr' END AS lang_pred
-         |FROM s""".stripMargin
-    } { (s, dir) =>
+    "text_language_id" -> oracled(
+      s"SELECT doc_id, lang_pred FROM ($sqlLangIdPredict) q") { (s, dir) =>
       LanguageIdEvaluator("text")(t(s, dir, D)).select("doc_id", "lang_pred")
+    },
+    // fused predict-then-filter on RAW text (reference's LanguageFilter
+    // shape, language_filter.py:69) — no precomputed lang column
+    "filter_language_text" -> oracled(
+      s"""SELECT doc_id, n_chars FROM ($sqlLangIdPredict) q
+         |WHERE lang_pred IN ('en','fr')""".stripMargin) { (s, dir) =>
+      LanguageFilter("text", Seq("en", "fr"), fromText = true)(t(s, dir, D))
+        .select("doc_id", "n_chars")
     })
+
+  /** DuckDB twin of [[LanguageIdEvaluator.predict]]: marker-hit argmax
+    * with name-order tie-break, 'und' when nothing hits. */
+  private def sqlLangIdPredict: String = {
+    def hits(l: String) =
+      s"len(list_filter(${sqlWords("lower(text)")}, w -> list_contains(${sqlLex(LanguageIdEvaluator.markers(l))}, w)))"
+    s"""WITH s AS (SELECT doc_id, n_chars, ${hits("de")} AS sde, ${hits("en")} AS sen,
+       |  ${hits("es")} AS ses, ${hits("fr")} AS sfr FROM $D)
+       |SELECT doc_id, n_chars, CASE
+       |  WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+       |  WHEN sde >= sen AND sde >= ses AND sde >= sfr THEN 'de'
+       |  WHEN sen >= ses AND sen >= sfr THEN 'en'
+       |  WHEN ses >= sfr THEN 'es' ELSE 'fr' END AS lang_pred
+       |FROM s""".stripMargin
+  }
 
   // ---- Text2SQL suite (§2.10) over a synthesized SQL corpus ---------------
   // The reference ships per-db_id SQLite files; here the SQL corpus is

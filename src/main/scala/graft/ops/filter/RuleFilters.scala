@@ -243,14 +243,22 @@ final case class NgramFilter(inputKey: String = "text", n: Int = 5,
   }
 }
 
-/** Language allow-list over a language-id column or heuristic
-  * (`general_text/filter/language_filter.py:11-69`; fastText there, a
-  * stopword-profile heuristic or an existing lang column here). */
+/** Language allow-list (`general_text/filter/language_filter.py:11-69`).
+  * Two modes, mirroring the reference's predict-then-filter: with
+  * `fromText = true` the input column is raw text and the fused
+  * [[graft.ops.text.LanguageIdEvaluator]] heuristic predicts the language
+  * inline (fastText there, the marker-lexicon heuristic here); the
+  * default mode predicates on a precomputed language-id column. */
 final case class LanguageFilter(inputKey: String = "lang",
-    allowed: Seq[String] = Seq("en")) extends FilterOp {
+    allowed: Seq[String] = Seq("en"), fromText: Boolean = false) extends FilterOp {
   val name = "language_filter"
   val inputKeys = Seq(inputKey)
-  def predicate: Column = col(inputKey).isin(allowed: _*)
+  def predicate: Column = {
+    val lang =
+      if (fromText) graft.ops.text.LanguageIdEvaluator.predict(col(inputKey))
+      else col(inputKey)
+    lang.isin(allowed: _*)
+  }
 }
 
 /** Lexical diversity (type-token ratio) in range

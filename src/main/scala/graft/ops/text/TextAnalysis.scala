@@ -21,17 +21,8 @@ final case class LanguageIdEvaluator(inputKey: String = "text",
   val name = "language_id_evaluator"
   val inputKeys = Seq(inputKey)
 
-  import LanguageIdEvaluator.markers
-  def scoreFor(lang: String): Column = {
-    val ms = array(markers(lang).map(lit): _*)
-    size(filter(words(lower(col(inputKey))), w => array_contains(ms, w)))
-  }
-  def scores: Seq[(String, Column)] = {
-    val scored = markers.keys.toSeq.sorted.map(l => struct(scoreFor(l).as("s"), lit(l).as("l")))
-    // reduce keeps the first max → deterministic tie-break by language name
-    val best = scored.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
-    Seq(outputKey -> when(best("s") > 0, best("l")).otherwise(lit("und")))
-  }
+  def scores: Seq[(String, Column)] =
+    Seq(outputKey -> LanguageIdEvaluator.predict(col(inputKey)))
 }
 object LanguageIdEvaluator {
   /** Marker lexicons (top function words per language). */
@@ -40,6 +31,21 @@ object LanguageIdEvaluator {
     "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por", "con", "una"),
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "für"))
+
+  /** The lang-id expression itself, reusable by any op that wants to
+    * predict on raw text (e.g. [[graft.ops.filter.LanguageFilter]] in
+    * fromText mode, matching the reference's predict-then-filter shape,
+    * `language_filter.py:69`). */
+  def predict(text: Column): Column = {
+    def scoreFor(lang: String): Column = {
+      val ms = array(markers(lang).map(lit): _*)
+      size(filter(words(lower(text)), w => array_contains(ms, w)))
+    }
+    val scored = markers.keys.toSeq.sorted.map(l => struct(scoreFor(l).as("s"), lit(l).as("l")))
+    // reduce keeps the first max → deterministic tie-break by language name
+    val best = scored.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    when(best("s") > 0, best("l")).otherwise(lit("und"))
+  }
 }
 
 /** Composite quality score: length, punctuation-density, stopword-ratio
