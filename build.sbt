@@ -27,11 +27,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Pin the forked heap (-Xms == -Xmx) so bench timings don't absorb heap
-// growth, and keep it deterministic run-to-run.
-javaOptions ++= jdk17AddOpens ++ Seq(
+val baseJvmOpts = jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Pin the bench JVM's heap (-Xms == -Xmx) so timings don't absorb heap
+// growth; tests get the same ceiling but no upfront reservation, so they
+// still start on hosts with less free memory.
+javaOptions ++= baseJvmOpts :+ s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+Test / javaOptions := baseJvmOpts

@@ -101,10 +101,16 @@ object Ops {
         case None => graft.ops.gen.PromptedGenerator(key(p),
           p.getOrElse("output_key", "gen"), Registry.serving(p), p.getOrElse("system_prompt", ""))
       }),
-      "prompted_filter" -> (p => graft.ops.gen.PromptedFilter(key(p), Registry.serving(p),
-        template("prompted_filter", p).map(_.systemPrompt).getOrElse("JUDGE"))),
-      "prompted_refiner" -> (p => graft.ops.gen.PromptedRefiner(key(p), Registry.serving(p),
-        template("prompted_refiner", p).map(_.systemPrompt).getOrElse(""))),
+      "prompted_filter" -> (p => template("prompted_filter", p) match {
+        case Some(t) => graft.ops.gen.PromptedFilter(key(p), Registry.serving(p),
+          t.systemPrompt, Some(t.template))
+        case None => graft.ops.gen.PromptedFilter(key(p), Registry.serving(p), "JUDGE")
+      }),
+      "prompted_refiner" -> (p => template("prompted_refiner", p) match {
+        case Some(t) => graft.ops.gen.PromptedRefiner(key(p), Registry.serving(p),
+          t.systemPrompt, Some(t.template))
+        case None => graft.ops.gen.PromptedRefiner(key(p), Registry.serving(p), "")
+      }),
       "prompted_evaluator" -> (p => graft.ops.gen.PromptedEvaluator(key(p), p.getOrElse("output_key", "score"), Registry.serving(p))),
       "sql_executability_filter" -> (p => graft.ops.text2sql.SQLExecutabilityFilter(p.getOrElse("input_key", "sql"))),
       "sql_component_classifier" -> (p => graft.ops.text2sql.SQLComponentClassifier(p.getOrElse("input_key", "sql"))),
@@ -112,6 +118,7 @@ object Ops {
       "sql_execution_classifier" -> (p => graft.ops.text2sql.SQLExecutionClassifier(p.getOrElse("prompt_key", "prompt"), p.getOrElse("gold_key", "sql"), Registry.serving(p), numGenerations = i(p, "num_generations", 10))),
       "text2sql_correspondence_filter" -> (p => graft.ops.text2sql.Text2SQLCorrespondenceFilter(p.getOrElse("question_key", "question"), p.getOrElse("sql_key", "sql"), Registry.serving(p))),
       "sql_by_column_generator" -> (p => graft.ops.text2sql.SQLByColumnGenerator(p.getOrElse("db_key", "db_id"), p.getOrElse("ddl_key", "schema_ddl"), Registry.serving(p), i(p, "generate_num", 5))),
+      "vec_sql_rewrite_generator" -> (p => graft.ops.text2sql.VecSqlRewriteGenerator(p.getOrElse("input_key", "sql"), p.getOrElse("output_key", "vec_sql"), Registry.serving(p))),
       "fineweb_edu_filter" -> (p => FineWebEduFilter(key(p), Registry.scorer(p), d(p, "min_score", 2.5), d(p, "max_score", 10000))),
       "perplexity_filter" -> (p => PerplexityFilter(key(p), Registry.scorer(p), d(p, "min_score", 10.0), d(p, "max_score", 500.0))),
       "qurating_filter" -> (p => QuratingFilter(key(p), Registry.scorer(p), p.getOrElse("dimension", "educational_value"), d(p, "min_score", 0), d(p, "max_score", 9))),
@@ -134,9 +141,9 @@ object Ops {
       "conversation_stats_evaluator" -> (p => graft.ops.conversations.ConversationStatsEvaluator()),
       "system_column_merger" -> (p => graft.ops.conversations.SystemColumnMerger(p.getOrElse("system_cols", "doc_id").split(',').toSeq)),
       "binary_metadata_evaluator" -> (p => graft.ops.multimodal.BinaryMetadataEvaluator(p.getOrElse("input_key", "payload"))),
-      "image_decode_stub" -> (p => graft.ops.multimodal.ImageDecodeStub(p.getOrElse("input_key", "payload"))),
+      "image_decode_double" -> (p => graft.ops.multimodal.ImageDecodeDouble(p.getOrElse("input_key", "payload"))),
       "frame_sampler" -> (p => graft.ops.multimodal.FrameSampler(p.getOrElse("input_key", "frames"), i(p, "every", 10))),
-      "image_resize_stub" -> (p => graft.ops.multimodal.ImageResizeStub(p.getOrElse("input_key", "decoded"), i(p, "max_side", 256))),
+      "image_resize_double" -> (p => graft.ops.multimodal.ImageResizeDouble(p.getOrElse("input_key", "decoded"), i(p, "max_side", 256))),
       "image_decoder" -> (p => graft.ops.multimodal.ImageDecoder(p.getOrElse("input_key", "payload"), p.getOrElse("output_key", "decoded"))),
       "image_resizer" -> (p => graft.ops.multimodal.ImageResizer(p.getOrElse("input_key", "payload"), p.getOrElse("output_key", "resized_png"), i(p, "max_side", 256))),
       "wav_metadata_evaluator" -> (p => graft.ops.multimodal.WavMetadataEvaluator(p.getOrElse("input_key", "payload"))),

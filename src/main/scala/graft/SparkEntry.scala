@@ -230,7 +230,31 @@ object SparkEntry {
       MinHashLSHDeduplicateFilter("text", "doc_id", ngram = 3, threshold = 0.9)(
         t(s, dir, D)).select("doc_id", "n_chars")
     },
-    "dedup_simhash" -> rowsOnly { (s, dir) =>
+    // exact brute-force twin of the banded simhash dedup: per-word 60-bit
+    // md5-prefix hash, ±1 bit votes → signature, then keep a row iff it is
+    // its signature's first holder AND no earlier representative is within
+    // Hamming distance 3 (the pigeonhole banding finds exactly these pairs
+    // when buckets fit under maxBandBucket, so banded ≡ brute force here)
+    "dedup_simhash" -> oracled(
+      s"""WITH w AS (
+         |  SELECT doc_id, (('0x' || substr(md5(u.w), 1, 16))::UBIGINT >> 4) AS h
+         |  FROM $D, unnest(${sqlWords("text")}) AS u(w)),
+         |bits AS (
+         |  SELECT doc_id, b.k,
+         |    SUM(CASE WHEN ((h >> b.k) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM w, range(60) AS b(k) GROUP BY doc_id, b.k),
+         |sigagg AS (
+         |  SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << k) ELSE 0 END) AS sig
+         |  FROM bits GROUP BY doc_id),
+         |sigs AS (
+         |  SELECT d.doc_id, d.n_chars, COALESCE(s.sig, 0)::UBIGINT AS sig
+         |  FROM $D d LEFT JOIN sigagg s USING (doc_id)),
+         |reps AS (SELECT *, row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+         |  FROM sigs)
+         |SELECT r.doc_id, r.n_chars FROM reps r
+         |WHERE r.rn = 1 AND NOT EXISTS (
+         |  SELECT 1 FROM reps p WHERE p.rn = 1 AND p.doc_id < r.doc_id
+         |    AND bit_count(xor(p.sig, r.sig)) <= 3)""".stripMargin) { (s, dir) =>
       SimHashDeduplicateFilter("text", "doc_id", hammingK = 3)(t(s, dir, D))
         .select("doc_id", "n_chars")
     },
@@ -939,18 +963,18 @@ object SparkEntry {
           t(s, dir, D).withColumn("payload", col("text").cast("binary")))
           .select("doc_id", "byte_length", "digest", "format")
     },
-    "mm_decode_stub" -> oracled(
+    "mm_decode_double" -> oracled(
       s"""WITH h AS (SELECT doc_id,
          |  ('0x' || substr(md5(substr(text, 1, 64)), 1, 8))::BIGINT AS hv FROM $D)
          |SELECT doc_id, CAST(hv % 640 + 1 AS INT) AS width,
          |  CAST((hv // 640) % 480 + 1 AS INT) AS height, 3 AS channels FROM h""".stripMargin) {
       (s, dir) =>
-        ImageDecodeStub("payload")(
+        ImageDecodeDouble("payload")(
           t(s, dir, D).withColumn("payload", col("text").cast("binary")))
           .select(col("doc_id"), col("decoded.width").as("width"),
             col("decoded.height").as("height"), col("decoded.channels").as("channels"))
     },
-    "mm_resize_stub" -> oracled(
+    "mm_resize_double" -> oracled(
       s"""WITH h AS (SELECT doc_id,
          |  CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 8))::BIGINT % 640 + 1 AS INT) AS w,
          |  CAST((('0x' || substr(md5(substr(text, 1, 64)), 1, 8))::BIGINT // 640) % 480 + 1 AS INT) AS h
@@ -959,9 +983,9 @@ object SparkEntry {
          |  CAST(floor(w * least(1.0, 256.0 / CAST(greatest(w, h) AS DOUBLE))) AS INT) AS rw,
          |  CAST(floor(h * least(1.0, 256.0 / CAST(greatest(w, h) AS DOUBLE))) AS INT) AS rh
          |FROM h""".stripMargin) { (s, dir) =>
-      val decoded = ImageDecodeStub("payload")(
+      val decoded = ImageDecodeDouble("payload")(
         t(s, dir, D).withColumn("payload", col("text").cast("binary")))
-      ImageResizeStub("decoded", 256)(decoded)
+      ImageResizeDouble("decoded", 256)(decoded)
         .select(col("doc_id"), col("resized.width").as("rw"), col("resized.height").as("rh"))
     },
     "mm_frame_sample" -> oracled(
@@ -1820,6 +1844,52 @@ object SparkEntry {
   // ---- round-2 coverage extensions: spider classifier, code ops,
   // ---- LLM language filter, reasoning LLM evaluators ----------------------
   private def extras2: Map[String, Q] = Map(
+    "t2s_schema_walk" -> oracled(
+      // live-catalog schema discovery: one Derby table per document lang,
+      // walked back out via DatabaseMetaData into CREATE TABLE DDL
+      // (identifiers and types come back Derby-canonical: uppercase,
+      // INTEGER, sized VARCHAR)
+      """SELECT 'T_' || upper(lang) AS table_name,
+        |  'CREATE TABLE T_' || upper(lang) ||
+        |  ' (X INTEGER NOT NULL, Y VARCHAR(10), PRIMARY KEY (X))' AS schema_ddl
+        |FROM (SELECT DISTINCT lang FROM documents)""".stripMargin) { (s, dir) =>
+      // distinct langs is a bounded dim (the catalog itself); collected
+      // only to CREATE the tables being discovered
+      val langs = t(s, dir, D).select("lang").distinct()
+        .collect().map(_.getString(0)).sorted
+      val db = s"graft_walk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        langs.foreach { l =>
+          st.execute(s"CREATE TABLE t_$l (x INT NOT NULL, y VARCHAR(10), PRIMARY KEY (x))")
+        }
+        st.close()
+      } finally conn.close()
+      val out = SchemaWalk.walk(s, url)
+      // in-memory Derby dbs live until dropped; the walk is eager, so the
+      // db can go away before the DataFrame is consumed
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () }
+      out
+    },
+    "t2s_vec_rewrite" -> oracled(
+      // lembed('model','text') → vec_f32('[…]') with the mock embedding
+      // grid (hash32 + 31i mod 1000, 3-decimal components)
+      s"""SELECT doc_id,
+         |  'SELECT id FROM items ORDER BY vec_distance_cos(emb, vec_f32(''[' ||
+         |  array_to_string(list_transform(range(0, 16),
+         |    i -> '0.' || lpad(((('0x' || substr(md5(text), 1, 8))::BIGINT + 31*i)
+         |      % 1000)::VARCHAR, 3, '0')), ',') ||
+         |  ']'')) LIMIT 5' AS vec_sql
+         |FROM $D""".stripMargin) { (s, dir) =>
+      val df = t(s, dir, D).withColumn("sql",
+        concat(lit("SELECT id FROM items ORDER BY vec_distance_cos(emb, lembed('m1', '"),
+          regexp_replace(col("text"), "'", "''"),
+          lit("')) LIMIT 5")))
+      VecSqlRewriteGenerator("sql", "vec_sql", mock)(df).select("doc_id", "vec_sql")
+    },
     "t2s_classify_spider" -> oracled(
       // six structural variants with Spider-hardness ground truth — the
       // oracle pins expected labels per variant rather than re-deriving

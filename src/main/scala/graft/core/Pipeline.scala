@@ -45,6 +45,35 @@ final case class Pipeline(ops: Seq[Op]) {
     }
   }
 
+  /** Graphviz DOT rendering of the op/key dependency graph — the
+    * declarative twin of the reference's `draw_graph`
+    * (`dataflow/pipeline/Pipeline.py:252-341`, pyvis nodes labeled
+    * name/class/step with key-flow edges). Emitting DOT text keeps it
+    * dependency-free: `dot -Tpng` or any viewer renders it. Edges follow
+    * key production: the op (or source) that last produced a key links to
+    * every op consuming it, labeled with the keys carried. */
+  def toDot(sourceColumns: Seq[String]): String = {
+    validate(sourceColumns)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sb = new StringBuilder("digraph pipeline {\n  rankdir=LR;\n  node [shape=box];\n")
+    sb.append("  source [label=\"source\", shape=oval];\n")
+    ops.zipWithIndex.foreach { case (op, i) =>
+      sb.append(s"""  op$i [label="${esc(op.name)}\\n<${op.getClass.getSimpleName}>\\n(step=$i)"];\n""")
+    }
+    val producer = scala.collection.mutable.Map.empty[String, Int] // key → step, source = -1
+    sourceColumns.foreach(c => producer(c) = -1)
+    def id(step: Int) = if (step < 0) "source" else s"op$step"
+    ops.zipWithIndex.foreach { case (op, i) =>
+      if (op.inputKeys.isEmpty)
+        sb.append(s"  ${id(i - 1)} -> op$i [style=dashed];\n")
+      else op.inputKeys.groupBy(producer).toSeq.sortBy(_._1).foreach { case (p, keys) =>
+        sb.append(s"""  ${id(p)} -> op$i [label="${esc(keys.mkString(", "))}"];\n""")
+      }
+      op.outputKeys.foreach(k => producer(k) = i)
+    }
+    sb.append("}\n").toString
+  }
+
   /** Resume from the last completed step checkpoint, mirroring
     * `Pipeline.py:507-515` resume_step. */
   def resume(spark: SparkSession, checkpointDir: String, fromStep: Int): DataFrame = {

@@ -27,27 +27,37 @@ final case class PromptedGenerator(inputKey: String, outputKey: String,
   }
 }
 
+/** `{col}`-placeholder format strings compiled to a codegen'd `concat`
+  * expression — shared by every prompted op that accepts a template body
+  * (the reference's `PromptABC.build_prompt` format-string contract,
+  * `dataflow/core/prompt.py:6-27`). */
+object PromptFormat {
+  private val Placeholder = "\\{([A-Za-z0-9_]+)\\}".r
+  def keys(template: String): Seq[String] =
+    Placeholder.findAllMatchIn(template).map(_.group(1)).toSeq
+  def column(template: String): Column = {
+    // split template on {col} placeholders, build concat(lit, col, lit...)
+    val parts = Placeholder.split(template)
+    val ks = keys(template)
+    val pieces = new scala.collection.mutable.ArrayBuffer[Column]
+    parts.zipWithIndex.foreach { case (p, i) =>
+      pieces += lit(p)
+      if (i < ks.length) pieces += col(ks(i)).cast("string")
+    }
+    // a template ending in a placeholder splits to fewer parts than keys
+    ks.drop(parts.length).foreach(k => pieces += col(k).cast("string"))
+    concat(pieces.toSeq: _*)
+  }
+}
+
 /** Prompt template with {col} placeholders over many columns
   * (`format_str_prompted_generator.py:17`). */
 final case class FormatStrPromptedGenerator(template: String, outputKey: String,
     serving: ServingClient, systemPrompt: String = "") extends Op {
   val name = "format_str_prompted_generator"
-  val inputKeys: Seq[String] =
-    "\\{([A-Za-z0-9_]+)\\}".r.findAllMatchIn(template).map(_.group(1)).toSeq.distinct
+  val inputKeys: Seq[String] = PromptFormat.keys(template).distinct
   val outputKeys = Seq(outputKey)
-  def prompt: Column = {
-    // split template on {col} placeholders, build concat(lit, col, lit...)
-    val parts = "\\{([A-Za-z0-9_]+)\\}".r.split(template)
-    val keys = inputKeysInOrder
-    val pieces = new scala.collection.mutable.ArrayBuffer[Column]
-    parts.zipWithIndex.foreach { case (p, i) =>
-      pieces += lit(p)
-      if (i < keys.length) pieces += col(keys(i)).cast("string")
-    }
-    concat(pieces.toSeq: _*)
-  }
-  private def inputKeysInOrder: Seq[String] =
-    "\\{([A-Za-z0-9_]+)\\}".r.findAllMatchIn(template).map(_.group(1)).toSeq
+  def prompt: Column = PromptFormat.column(template)
   def apply(df: DataFrame): DataFrame = {
     val prompted = df.withColumn("__prompt", prompt)
     LLMMap.generated(prompted, "__prompt", outputKey, serving, systemPrompt)
@@ -56,27 +66,38 @@ final case class FormatStrPromptedGenerator(template: String, outputKey: String,
 }
 
 /** LLM judges each row; keep positives
-  * (`core_text/filter/prompted_filter.py:11-90`). */
+  * (`core_text/filter/prompted_filter.py:11-90`). When a `template` body
+  * is given it drives prompt construction (the reference's
+  * `prompt_template.build_prompt` path), not just the system prompt. */
 final case class PromptedFilter(inputKey: String, serving: ServingClient,
-    systemPrompt: String = "JUDGE") extends Op {
+    systemPrompt: String = "JUDGE", template: Option[String] = None) extends Op {
   val name = "prompted_filter"
-  val inputKeys = Seq(inputKey)
+  val inputKeys = template.map(PromptFormat.keys(_).distinct).getOrElse(Seq(inputKey))
   val outputKeys = Nil
-  def apply(df: DataFrame): DataFrame =
-    LLMMap.generated(df, inputKey, "__judgment", serving, systemPrompt)
+  def apply(df: DataFrame): DataFrame = {
+    val prompted = df.withColumn("__judge_prompt",
+      template.map(PromptFormat.column).getOrElse(col(inputKey)))
+    LLMMap.generated(prompted, "__judge_prompt", "__judgment", serving, systemPrompt)
       .filter(lower(col("__judgment")).startsWith("yes"))
-      .drop("__judgment")
+      .drop("__judge_prompt", "__judgment")
+  }
 }
 
-/** LLM rewrites a column in place (`core_text/refine/prompted_refiner.py:10-60`). */
+/** LLM rewrites a column in place (`core_text/refine/prompted_refiner.py:10-60`).
+  * A `template` body, when given, builds the rewrite prompt; the refined
+  * value still lands back in `inputKey`. */
 final case class PromptedRefiner(inputKey: String, serving: ServingClient,
-    systemPrompt: String = "") extends Op {
+    systemPrompt: String = "", template: Option[String] = None) extends Op {
   val name = "prompted_refiner"
-  val inputKeys = Seq(inputKey)
+  val inputKeys = (inputKey +: template.map(PromptFormat.keys).getOrElse(Nil)).distinct
   val outputKeys = Nil
-  def apply(df: DataFrame): DataFrame =
-    LLMMap.generated(df, inputKey, "__rewritten", serving, systemPrompt)
-      .withColumn(inputKey, col("__rewritten")).drop("__rewritten")
+  def apply(df: DataFrame): DataFrame = {
+    val prompted = df.withColumn("__refine_prompt",
+      template.map(PromptFormat.column).getOrElse(col(inputKey)))
+    LLMMap.generated(prompted, "__refine_prompt", "__rewritten", serving, systemPrompt)
+      .withColumn(inputKey, col("__rewritten"))
+      .drop("__refine_prompt", "__rewritten")
+  }
 }
 
 /** Generic prompted numeric score (`core_text/eval/prompted_eval.py:10-97`). */

@@ -8,10 +8,11 @@ import graft.core.Op
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata. Real decode lives in [[MediaCodec]] ([[ImageDecoder]],
   * [[ImageResizer]], [[WavMetadataEvaluator]] over the JDK's ImageIO and
-  * javax.sound readers). The *Stub ops below are kept as hermetic test
-  * doubles: deterministic fake dims for pipelines that must not depend on
-  * codec output (and as the swap seam for formats the JDK cannot parse,
-  * e.g. video containers).
+  * javax.sound readers). The *Double ops below are hermetic test doubles:
+  * deterministic fake dims for pipelines that must not depend on codec
+  * output (and the swap seam for formats the JDK cannot parse, e.g. video
+  * containers). They are NOT the decode implementation — that is
+  * [[MediaCodec]].
   */
 
 /** Typed metadata over a binary column: byte length, digest, magic-byte
@@ -38,9 +39,9 @@ final case class BinaryMetadataEvaluator(binKey: String = "payload") extends Op 
   * decoder instance per partition). The stub derives deterministic fake
   * dimensions from the digest so the full pipeline — schema, batching,
   * downstream filters — is testable hermetically. */
-final case class ImageDecodeStub(binKey: String = "payload",
+final case class ImageDecodeDouble(binKey: String = "payload",
     outputKey: String = "decoded") extends Op {
-  val name = "image_decode_stub"
+  val name = "image_decode_double"
   val inputKeys = Seq(binKey)
   val outputKeys = Seq(outputKey)
 
@@ -55,14 +56,14 @@ final case class ImageDecodeStub(binKey: String = "payload",
       // per-partition "decoder" init would go here (one codec instance)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val dims = ImageDecodeStub.fakeDims(bytes)
+        val dims = ImageDecodeDouble.fakeDims(bytes)
         Row.fromSeq(r.toSeq :+ Row(dims._1, dims._2, dims._3))
       }
     }(Encoders.row(schema))
   }
 }
 
-object ImageDecodeStub {
+object ImageDecodeDouble {
   /** Deterministic fake decode: dims from the md5 of the payload.
     * SWAP THIS for a real codec (e.g. TwelveMonkeys/ImageIO) in
     * deployments that ship one. */
@@ -95,9 +96,9 @@ final case class Speech2TextGenerator(binKey: String = "payload",
 
 /** Resize/feature-extract stub over decoded dims: pure arithmetic on the
   * struct (a real impl transforms pixel buffers partition-wise). */
-final case class ImageResizeStub(decodedKey: String = "decoded",
+final case class ImageResizeDouble(decodedKey: String = "decoded",
     maxSide: Int = 256) extends Op {
-  val name = "image_resize_stub"
+  val name = "image_resize_double"
   val inputKeys = Seq(decodedKey)
   val outputKeys = Seq("resized")
   def apply(df: DataFrame): DataFrame = {

@@ -37,14 +37,28 @@ object LanguageIdEvaluator {
     * fromText mode, matching the reference's predict-then-filter shape,
     * `language_filter.py:69`). */
   def predict(text: Column): Column = {
-    def scoreFor(lang: String): Column = {
-      val ms = array(markers(lang).map(lit): _*)
-      size(filter(words(lower(text)), w => array_contains(ms, w)))
-    }
-    val scored = markers.keys.toSeq.sorted.map(l => struct(scoreFor(l).as("s"), lit(l).as("l")))
-    // reduce keeps the first max → deterministic tie-break by language name
-    val best = scored.reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
-    when(best("s") > 0, best("l")).otherwise(lit("und"))
+    val langs = markers.keys.toSeq.sorted
+    val n = langs.length
+    val lexica = langs.map(l => array(markers(l).map(lit): _*))
+    // ONE pass over the token array accumulates per-language marker hits;
+    // the finish lambda does the argmax over the n-slot count array with a
+    // first-max (language-name-order) tie-break via inverted rank. The
+    // tokenize/scan work appears exactly once in the expression tree — the
+    // previous when-struct reduce repeated it per conditional branch,
+    // which codegen cannot CSE (~30 splits/row, 5.5s for 5k rows at sf0.1).
+    aggregate(
+      words(lower(text)),
+      array(langs.map(_ => lit(0)): _*),
+      (acc, w) => array(langs.indices.map(i =>
+        acc.getItem(i) + when(array_contains(lexica(i), w), 1).otherwise(0)): _*),
+      counts => {
+        val scored = array(langs.indices.map(i =>
+          struct(counts.getItem(i).as("s"), lit(n - 1 - i).as("r"))): _*)
+        val best = array_max(scored)
+        when(best("s") > 0,
+          element_at(array(langs.map(lit): _*), lit(n) - best("r")))
+          .otherwise(lit("und"))
+      })
   }
 }
 

@@ -198,7 +198,7 @@ class TiersSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Storage.table(spark, sf, "documents")
       .withColumn("payload", col("text").cast("binary"))
-    val out = graft.ops.multimodal.ImageDecodeStub("payload")(docs)
+    val out = graft.ops.multimodal.ImageDecodeDouble("payload")(docs)
     val dims = out.select(col("decoded.width"), col("decoded.height")).as[(Int, Int)].collect()
     assert(dims.forall { case (w, h) => w >= 1 && w <= 640 && h >= 1 && h <= 480 })
   }
