@@ -31,7 +31,10 @@ final case class ChunkSplitter(inputKey: String = "text",
 
   private def chunksExpr: Column = mode match {
     case "token" =>
-      val ws = words(col(inputKey))
+      // words() is materialized into its own column first (see apply):
+      // ArrayTransform is CodegenFallback, so a split embedded in the
+      // lambda body would re-tokenize the document once PER CHUNK.
+      val ws = col("__ws")
       val n = ceil(size(ws).cast("double") / chunkSize.toDouble).cast("int")
       transform(sequence(lit(0), greatest(n - 1, lit(0))),
         i => concat_ws(" ", slice(ws, i * chunkSize + 1, lit(chunkSize))))
@@ -105,7 +108,10 @@ final case class ChunkSplitter(inputKey: String = "text",
 
   def apply(df: DataFrame): DataFrame = {
     if (mode == "semantic") return semanticChunks(df)
-    val base = df.withColumn("__chunks", chunksExpr)
+    val tokenized =
+      if (mode == "token") df.withColumn("__ws", words(col(inputKey)))
+      else df
+    val base = tokenized.withColumn("__chunks", chunksExpr)
     val merged =
       if (minChunkTokens > 0) base.withColumn("__chunks", mergeShort(col("__chunks")))
       else base

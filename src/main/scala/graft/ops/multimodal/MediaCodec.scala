@@ -25,6 +25,9 @@ object MediaCodec {
   // ImageIO are headless-safe, but this keeps executor JVMs from probing
   // for a display on misconfigured hosts.
   System.setProperty("java.awt.headless", "true")
+  // ImageIO's default stream cache spools every read/write through a temp
+  // FILE on disk — per image, per task. In-memory payloads never need it.
+  ImageIO.setUseCache(false)
 
   final case class Decoded(width: Int, height: Int, channels: Int,
       pixelSum: Long, pixelCount: Long)

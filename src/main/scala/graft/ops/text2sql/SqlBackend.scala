@@ -129,8 +129,17 @@ final case class SparkSessionBackend(maxDistinct: Int = 100000,
       s"SparkSessionBackend: > $maxDistinct distinct statements; " +
         "use JdbcSqlBackend (distributed) or raise maxDistinct")
     import scala.jdk.CollectionConverters._
+    // Serial constant-fold sweep first: synthesized corpora are mostly
+    // one-shot constant statements, and concurrent spark.sql calls
+    // CONTEND on the shared session's analyzer (pooling them measures
+    // ~5x slower than a serial sweep). Only statements that need real
+    // execution go to the worker pool, where parallel job scheduling
+    // does pay off.
+    val swept: Seq[(String, Option[Option[String]])] = stmts.map { q =>
+      q -> SqlExecutor.foldedHash(spark, q)
+    }
     val pool = SparkSessionBackend.pool(maxWorkers)
-    val tasks = stmts.map { q =>
+    val tasks = swept.collect { case (q, None) =>
       new java.util.concurrent.Callable[(String, Boolean, String)] {
         def call(): (String, Boolean, String) =
           SqlExecutor.hashed(spark, q, timeoutSec) match {
@@ -139,7 +148,11 @@ final case class SparkSessionBackend(maxDistinct: Int = 100000,
           }
       }
     }
-    val verdicts = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    val pooled = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    val verdicts = swept.collect {
+      case (q, Some(Some(h))) => (q, true, h)
+      case (q, Some(None))    => (q, false, null)
+    } ++ pooled
     spark.createDataFrame(verdicts).toDF(sqlKey, "__ok", "__hash")
   }
 }
