@@ -219,9 +219,22 @@ object SparkEntry {
         t(s, dir, "embeddings"))
         .select("vec_id", "label")
     },
-    "dedup_sem_lsh" -> rowsOnly { (s, dir) =>
-      // default LSH candidate generation + exact verify — recall < 1 by
-      // construction, so rows-only (the exact-mode twin is fully oracled)
+    // the LSH default path, fully oracled: the md5-parity hyperplanes are
+    // reproduced in SQL (sqlLshBucketCtes), candidates = any shared
+    // bucket, exact cosine >= 1-eps verifies — recall < 1 vs the exact
+    // twin above is BY DESIGN, but the bucket assignment itself is
+    // deterministic and the oracle replays it bit for bit
+    "dedup_sem_lsh" -> oracled(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${sqlLshBucketCtes(bits = 8, dim = 64, tables = 4)},
+         |cand AS (SELECT DISTINCT l.vec_id AS i, r.vec_id AS j
+         |  FROM buckets l JOIN buckets r
+         |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+         |dups AS (SELECT DISTINCT c.j FROM cand c
+         |  JOIN v a ON a.vec_id = c.i JOIN v b ON b.vec_id = c.j
+         |  WHERE ${sqlCosine("a.e", "b.e", 64)} >= (1.0::DOUBLE - 0.05::DOUBLE))
+         |SELECT d.vec_id, d.label FROM embeddings d
+         |WHERE d.vec_id NOT IN (SELECT j FROM dups)""".stripMargin) { (s, dir) =>
       SemDeduplicateFilter("embedding", "vec_id", eps = 0.05)(
         t(s, dir, "embeddings"))
         .select("vec_id", "label")
@@ -920,6 +933,29 @@ object SparkEntry {
     s"($dot) / (($na) * ($nb))"
   }
 
+  /** DuckDB twin of `kernels.lshBuckets` / `cosine_lsh_buckets`: CTEs
+    * `wt` (±1 plane weights from md5-nibble parity, one ORDERED list per
+    * plane), `dots` (left-to-right folded dot per (vec, plane) — the same
+    * summation order as the kernel, so signs are bit-identical), `codes`
+    * and `buckets` ("table:code" keys). Expects a prior CTE `v(vec_id, e)`
+    * with e = CAST(embedding AS DOUBLE[]). */
+  private def sqlLshBucketCtes(bits: Int, dim: Int, tables: Int): String = {
+    val tb = tables * bits
+    s"""wt AS (SELECT p.g AS p,
+       |    list(CASE WHEN ('0x' || substr(md5(p.g || ':' || i.g), 1, 1))::INT % 2 = 0
+       |              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY i.g) AS w
+       |  FROM range(0, $tb) p(g), range(0, $dim) i(g) GROUP BY 1),
+       |dots AS (SELECT v.vec_id, wt.p,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, ${dim + 1}), i -> v.e[i] * wt.w[i])),
+       |      (acc, x) -> acc + x) AS dot
+       |  FROM v, wt),
+       |codes AS (SELECT vec_id, p // $bits AS tbl,
+       |    SUM(CASE WHEN dot > 0 THEN (1::BIGINT << (p % $bits)) ELSE 0 END) AS code
+       |  FROM dots GROUP BY 1, 2),
+       |buckets AS (SELECT vec_id, tbl || ':' || code AS bucket FROM codes)""".stripMargin
+  }
+
   private def advanced: Map[String, Q] = Map(
     "sim_topk_brute" -> oracled(
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -935,7 +971,23 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 5)
     },
-    "sim_lsh_topk" -> rowsOnly { (s, dir) =>
+    // LSH top-k, fully oracled: same md5-parity bucket replay as
+    // dedup_sem_lsh; candidates = shared bucket, exact cosine, rank ties
+    // by neighbor_id (the bounded top-k aggregator's ordering)
+    "sim_lsh_topk" -> oracled(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${sqlLshBucketCtes(bits = 8, dim = 64, tables = 4)},
+         |pairs AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |scored AS (SELECT p.query_id, p.neighbor_id,
+         |    ${sqlCosine("a.e", "b.e", 64)} AS cos
+         |  FROM pairs p JOIN v a ON a.vec_id = p.query_id
+         |  JOIN v b ON b.vec_id = p.neighbor_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 5)
@@ -951,9 +1003,18 @@ object SparkEntry {
     // p = 1 - arccos(0.4)/π ≈ 0.63 → recall ≈ 1-(1-p^8)^16 ≈ 0.33 at the
     // threshold (rising steeply for closer pairs) with ~half the candidate
     // pairs of a 6-bit table set — more tables beats wider buckets.
-    "sim_join" -> rowsOnly { (s, dir) =>
-      Similarity.similarityJoin(t(s, dir, "embeddings"),
-        "embedding", "vec_id", threshold = 0.4, bits = 8, tables = 16)
+    "sim_join" -> oracled(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${sqlLshBucketCtes(bits = 8, dim = 64, tables = 16)},
+         |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+         |  FROM buckets l JOIN buckets r
+         |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT c.a, c.b, ${sqlCosine("va.e", "vb.e", 64)} AS cos
+         |FROM cand c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b
+         |WHERE ${sqlCosine("va.e", "vb.e", 64)} >= 0.4::DOUBLE""".stripMargin) {
+      (s, dir) =>
+        Similarity.similarityJoin(t(s, dir, "embeddings"),
+          "embedding", "vec_id", threshold = 0.4, bits = 8, tables = 16)
     },
     "mm_binary_meta" -> oracled(
       s"""SELECT doc_id, octet_length(encode(text)) AS byte_length,

@@ -113,11 +113,17 @@ object kernels {
   // ── Random-hyperplane LSH ──────────────────────────────────────────────
 
   /** Deterministic pseudo-random hyperplanes: plane p, component i has
-    * weight in {-1, +1} from a fixed integer mix. */
+    * weight in {-1, +1} from the parity of the first md5 nibble of
+    * "p:i". md5 — not an integer mix — so an external system (the DuckDB
+    * correctness oracle, a Python re-implementation) can reproduce the
+    * exact bucket assignment with its own md5:
+    * `('0x' || substr(md5(p || ':' || i), 1, 1))::INT % 2`. Computed once
+    * per (bits, dim, tables) via the [[planes]] cache. */
   private def planeWeight(p: Int, i: Int): Double = {
-    var h = p * 1000003 + i * 7919 + 12345
-    h ^= (h << 13); h ^= (h >>> 17); h ^= (h << 5)
-    if ((h & 1) == 0) 1.0 else -1.0
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s"$p:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
   }
 
   private val planeCache =
