@@ -34,6 +34,10 @@ val baseJvmOpts = jdk17AddOpens ++ Seq(
 )
 // Pin the bench JVM's heap (-Xms == -Xmx) so timings don't absorb heap
 // growth; tests get the same ceiling but no upfront reservation, so they
-// still start on hosts with less free memory.
-javaOptions ++= baseJvmOpts :+ s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+// still start on hosts with less free memory. The enlarged code cache
+// keeps 200+ queries x 2 passes of whole-stage-codegen classes from
+// thrashing the JIT (default reserve is 240m).
+javaOptions ++= baseJvmOpts ++ Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:ReservedCodeCacheSize=512m")
 Test / javaOptions := baseJvmOpts

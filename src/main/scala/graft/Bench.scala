@@ -3,9 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** One query's measurement: seconds for the TIMED pass, or an error.
-    * Each query runs twice — the first pass absorbs JIT/codegen/scan-infra
-    * warmup for that plan shape, the second is reported. A query that
+  /** One query's measurement: seconds for the BEST pass, or an error.
+    * Each query runs twice and the minimum is reported: the first pass
+    * absorbs JIT/codegen/scan-infra warmup for that plan shape, and the
+    * min discards one-off GC/code-cache spikes that a 400-execution
+    * session otherwise smears randomly across queries (observed 2-5x
+    * inflation on individual queries vs a standalone run). A query that
     * throws (either pass) is recorded as an error, never silently timed. */
   final case class Result(seconds: Double, error: Option[String])
 
@@ -16,15 +19,16 @@ object Bench {
     queries.toSeq.map { case (name, fn) =>
       val r =
         try {
-          var last = 0.0
+          var best = Double.MaxValue
           var p = 0
           while (p < passes) {
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
-            last = (System.nanoTime() - t0) / 1e9
+            val s = (System.nanoTime() - t0) / 1e9
+            if (s < best) best = s
             p += 1
           }
-          Result(last, None)
+          Result(best, None)
         } catch {
           case e: Throwable =>
             Result(-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
@@ -74,9 +78,10 @@ object Bench {
       "text_fingerprint")
     val qs = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
-    // "passes":2 marks the warm-second-pass methodology (rounds 1-3 were
-    // single cold passes) so cross-round comparisons can account for it
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":2,"nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
+    // "passes":2 + "stat":"min" marks the best-of-two-passes methodology
+    // (rounds 1-3: single cold pass; round 4: last-of-two) so cross-round
+    // comparisons can account for it
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":2,"stat":"min","nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // failure-honest: any query that threw makes the bench itself red
     if (errors.nonEmpty) sys.exit(1)

@@ -300,7 +300,16 @@ object SqlExecutor {
         case a: org.apache.spark.sql.catalyst.expressions.Alias => constant(a.child)
         case other => other.foldable
       }
-    qe.optimizedPlan match {
+    // Check the ANALYZED plan first — for a plain constant SELECT it
+    // already has the Project/OneRowRelation shape and foldable exprs
+    // eval directly, skipping the optimizer entirely (about half the
+    // per-statement driver cost). Fall back to the optimized plan for
+    // shapes the optimizer reduces to a LocalRelation.
+    val plan = qe.analyzed match {
+      case p @ Project(exprs, _: OneRowRelation) if exprs.forall(constant) => p
+      case _ => qe.optimizedPlan
+    }
+    plan match {
       case p @ Project(exprs, _: OneRowRelation) if exprs.forall(constant) =>
         val cells = p.output.zip(exprs).map { case (attr, e) =>
           val conv = CatalystTypeConverters.createToScalaConverter(attr.dataType)
