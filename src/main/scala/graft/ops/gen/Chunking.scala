@@ -115,6 +115,11 @@ final case class ChunkSplitter(inputKey: String = "text",
     val merged =
       if (minChunkTokens > 0) base.withColumn("__chunks", mergeShort(col("__chunks")))
       else base
-    merged.select(col(idKey), posexplode(col("__chunks")).as(Seq("pos", "raw_chunk")))
+    // posexplode_OUTER, then drop the null rows of empty arrays: an inner
+    // posexplode makes InferFiltersFromGenerate push a `size(chunks) > 0`
+    // filter below the projections, re-inlining (and re-evaluating) the
+    // whole chunk expression once more per document
+    merged.select(col(idKey), posexplode_outer(col("__chunks")).as(Seq("pos", "raw_chunk")))
+      .where(col("raw_chunk").isNotNull)
   }
 }

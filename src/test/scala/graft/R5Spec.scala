@@ -191,3 +191,50 @@ class R5Spec extends AnyFunSuite {
     assert(und == "und")
   }
 }
+
+/** The constant-fold fast path must be observationally identical to real
+  * execution: same verdicts, same canonical result-set hash. */
+class FoldPathSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  /** The slow path's encoding, replicated literally: collect() and join
+    * cells with the U+0001 separator, sha256 over sorted rows. */
+  private def slowHash(sql: String): Option[String] =
+    try {
+      val rows = spark.sql(sql).collect()
+      Some(graft.ops.text2sql.SqlBackend.resultSetHash(rows.toSeq.map(r =>
+        r.toSeq.map(String.valueOf).mkString(""))))
+    } catch { case _: Throwable => None }
+
+  test("foldable statements hash identically to collect()-based execution") {
+    val stmts = Seq(
+      "SELECT 42 AS x",
+      "SELECT 1 + 1 AS x, 'a' || 'b' AS s",
+      "SELECT 1.5 AS d",                       // decimal
+      "SELECT CAST(2.5 AS DOUBLE) AS d",
+      "SELECT NULL AS n",
+      "SELECT DATE'2026-01-01' AS dt",
+      "SELECT TIMESTAMP'2026-01-01 12:00:00' AS ts",
+      "SELECT ARRAY(1, 2, 3) AS a",
+      "SELECT upper('mixed') AS u, length('abc') AS l",
+      "SELECT CAST(7 AS BIGINT) AS b, true AS t")
+    stmts.foreach { q =>
+      val fast = graft.ops.text2sql.SqlExecutor.hashed(spark, q, 5)
+      assert(fast == slowHash(q), s"fold path diverged for: $q")
+    }
+  }
+
+  test("non-foldable and invalid statements behave as before") {
+    Seq((1, "a"), (2, "b")).toDF("x", "s").createOrReplaceTempView("fold_t")
+    val viaView = graft.ops.text2sql.SqlExecutor.hashed(spark,
+      "SELECT x, s FROM fold_t", 5)
+    assert(viaView == slowHash("SELECT x, s FROM fold_t"))
+    assert(graft.ops.text2sql.SqlExecutor.hashed(spark,
+      "SELECT FROM nowhere !!", 5).isEmpty)
+    // multi-row constant relations take the LocalRelation branch
+    val values = "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(x, s)"
+    assert(graft.ops.text2sql.SqlExecutor.hashed(spark, values, 5) == slowHash(values))
+  }
+}
