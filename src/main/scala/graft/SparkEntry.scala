@@ -313,19 +313,26 @@ object SparkEntry {
       LexicalDiversitySampleEvaluator("text")(t(s, dir, D))
         .select("doc_id", "ttr", "rttr", "mtld", "hdd")
     },
+    // float canonicalization: floor(x * 1e6) — the multiply and floor are
+    // the SAME IEEE ops in both engines, unlike decimal rounding, where
+    // Java rounds the shortest repr and DuckDB scales first (observed
+    // divergence on an ari one ulp under a half boundary at sf0.1)
     "eval_langkit" -> oracled(
       s"""SELECT doc_id, length(text) AS char_count,
          |  CAST(${sqlWordCount("text")} AS BIGINT) AS word_count,
          |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sentence_count,
-         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) /
-         |        CAST(${sqlWordCount("text")} AS DOUBLE), 6) AS mean_word_len,
-         |  round(4.71 * (CAST(length(text) AS DOUBLE) / CAST(${sqlWordCount("text")} AS DOUBLE))
+         |  CAST(floor((CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) /
+         |        CAST(${sqlWordCount("text")} AS DOUBLE)) * 1000000.0) AS BIGINT) AS mwl_micro,
+         |  CAST(floor((4.71 * (CAST(length(text) AS DOUBLE) / CAST(${sqlWordCount("text")} AS DOUBLE))
          |    + 0.5 * (CAST(${sqlWordCount("text")} AS DOUBLE) /
          |             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
-         |    - 21.43, 6) AS ari
+         |    - 21.43) * 1000000.0) AS BIGINT) AS ari_micro
          |FROM $D""".stripMargin) { (s, dir) =>
       LangkitSampleEvaluator("text")(t(s, dir, D))
-        .select("doc_id", "char_count", "word_count", "sentence_count", "mean_word_len", "ari")
+        .select(col("doc_id"), col("char_count"), col("word_count"),
+          col("sentence_count"),
+          floor(col("mean_word_len") * 1000000.0).cast("long").as("mwl_micro"),
+          floor(col("ari") * 1000000.0).cast("long").as("ari_micro"))
     },
     "text_token_count" -> oracled(
       s"""SELECT doc_id, CAST(${sqlWordCount("text")} AS BIGINT) AS word_tokens,
@@ -1728,17 +1735,22 @@ object SparkEntry {
           i => concat_ws(" ", slice(ws, i * 20 + 1, lit(20)))))
         .select(col("doc_id"), posexplode(col("__chunks")).as(Seq("pos", "chunk")))
     },
+    // l_quantity is the LAST ordering key: the synthetic lineitem carries
+    // full (suppkey, shipdate, orderkey, linenumber) duplicates with
+    // different quantities at sf0.1, and a ROWS-frame running sum between
+    // such peers is otherwise physical-order-dependent (engines disagree)
     "window_running_sum" -> oracled(
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  row_number() OVER w AS rn,
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) OVER w AS DOUBLE), 2) AS run_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) {
       (s, dir) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         t(s, dir, "lineitem").select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),

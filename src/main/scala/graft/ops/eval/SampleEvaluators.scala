@@ -163,9 +163,13 @@ final case class LangkitSampleEvaluator(inputKey: String = "text") extends EvalO
       "char_count" -> length(t).cast("long"),
       "word_count" -> wordCount(t).cast("long"),
       "sentence_count" -> sentenceCount(t).cast("long"),
-      "mean_word_len" -> round(meanWordLength(t), 6),
+      // raw doubles, like the reference's langkit metrics — decimal
+      // rounding here would also be oracle-hostile: Java rounds the
+      // shortest decimal repr while DuckDB scales by 1e6 first, and a
+      // value one ulp under a half boundary rounds differently
+      "mean_word_len" -> meanWordLength(t),
       // Automated Readability Index: 4.71*(chars/words)+0.5*(words/sents)-21.43
-      "ari" -> round(lit(4.71) * (chars / wordsN) + lit(0.5) * (wordsN / sentsN) - 21.43, 6))
+      "ari" -> (lit(4.71) * (chars / wordsN) + lit(0.5) * (wordsN / sentsN) - 21.43))
   }
 }
 
