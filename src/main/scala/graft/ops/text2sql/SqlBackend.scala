@@ -16,6 +16,14 @@ object SqlGuard {
   /** True iff the comment-stripped statement starts with SELECT or WITH. */
   def isSelect(c: Column): Column =
     lower(stripped(c)).rlike("^\\s*(select|with)\\b")
+
+  /** Driver-side twin of [[isSelect]] for backends that receive statement
+    * strings rather than columns. */
+  def isSelectStr(sql: String): Boolean = {
+    val s = sql.replaceAll("--[^\n]*", " ")
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+    s.trim.toLowerCase(java.util.Locale.ROOT).matches("(?s)^(select|with)\\b.*")
+  }
 }
 
 /** Statement-execution seam for SQLExecutionFilter / SQLExecutionClassifier
@@ -129,14 +137,20 @@ final case class SparkSessionBackend(maxDistinct: Int = 100000,
       s"SparkSessionBackend: > $maxDistinct distinct statements; " +
         "use JdbcSqlBackend (distributed) or raise maxDistinct")
     import scala.jdk.CollectionConverters._
-    // Serial constant-fold sweep first: synthesized corpora are mostly
+    // SELECT/WITH only, mirroring JdbcSqlBackend's executeQuery (which
+    // throws on non-queries): spark.sql() executes DDL/DML commands
+    // EAGERLY on the live session's catalog, so an unguarded corpus
+    // statement like DROP TABLE would be a real side effect here, not an
+    // execution-failure verdict.
+    // Then a serial constant-fold sweep: synthesized corpora are mostly
     // one-shot constant statements, and concurrent spark.sql calls
     // CONTEND on the shared session's analyzer (pooling them measures
     // ~5x slower than a serial sweep). Only statements that need real
     // execution go to the worker pool, where parallel job scheduling
     // does pay off.
     val swept: Seq[(String, Option[Option[String]])] = stmts.map { q =>
-      q -> SqlExecutor.foldedHash(spark, q)
+      if (!SqlGuard.isSelectStr(q)) q -> Some(None)
+      else q -> SqlExecutor.foldedHash(spark, q)
     }
     val pool = SparkSessionBackend.pool(maxWorkers)
     val tasks = swept.collect { case (q, None) =>

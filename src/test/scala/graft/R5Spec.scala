@@ -237,4 +237,20 @@ class FoldPathSpec extends org.scalatest.funsuite.AnyFunSuite {
     val values = "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(x, s)"
     assert(graft.ops.text2sql.SqlExecutor.hashed(spark, values, 5) == slowHash(values))
   }
+
+  test("SparkSessionBackend never executes non-SELECT statements") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE IF NOT EXISTS guard_victim (x INT) USING parquet")
+    try {
+      val stmts = Seq("DROP TABLE guard_victim", "SELECT 1 AS x").toDF("sql")
+      val out = graft.ops.text2sql.SparkSessionBackend().execute(stmts, "sql", 5)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      // the DDL must FAIL the verdict (executeQuery parity with the JDBC
+      // backend) and, critically, must not have run on the live catalog
+      assert(!out("DROP TABLE guard_victim"))
+      assert(out("SELECT 1 AS x"))
+      assert(spark.catalog.tableExists("guard_victim"),
+        "backend executed corpus DDL against the live session")
+    } finally spark.sql("DROP TABLE IF EXISTS guard_victim")
+  }
 }
