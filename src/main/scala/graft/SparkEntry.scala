@@ -1728,12 +1728,16 @@ object SparkEntry {
          |    chunk := array_to_string(list_slice(${sqlWords("text")}, i*20 + 1, i*20 + 20), ' '))),
          |  recursive := true)
          |FROM $D""".stripMargin) { (s, dir) =>
-      val ws = words(col("text"))
+      // materialized word array + outer explode: same single-tokenize
+      // plan shape as ChunkSplitter (PlanSpec2)
+      val ws = col("__ws")
       val nChunks = ceil(size(ws).cast("double") / 20.0).cast("int")
-      t(s, dir, D).withColumn("__chunks",
-        transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
-          i => concat_ws(" ", slice(ws, i * 20 + 1, lit(20)))))
-        .select(col("doc_id"), posexplode(col("__chunks")).as(Seq("pos", "chunk")))
+      t(s, dir, D).withColumn("__ws", words(col("text")))
+        .withColumn("__chunks",
+          transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+            i => concat_ws(" ", slice(ws, i * 20 + 1, lit(20)))))
+        .select(col("doc_id"), posexplode_outer(col("__chunks")).as(Seq("pos", "chunk")))
+        .where(col("chunk").isNotNull)
     },
     // l_quantity is the LAST ordering key: the synthetic lineitem carries
     // full (suppkey, shipdate, orderkey, linenumber) duplicates with

@@ -139,12 +139,19 @@ final case class ChunkedPromptedGenerator(inputKey: String, idKey: String,
   val inputKeys = Seq(inputKey, idKey)
   val outputKeys = Seq(outputKey)
   def apply(df: DataFrame): DataFrame = {
-    val ws = graft.functions.text.words(col(inputKey))
+    // materialize the word array first (ArrayTransform is CodegenFallback:
+    // a split in the lambda body re-tokenizes once per chunk) and explode
+    // OUTER so InferFiltersFromGenerate can't re-inline the chunk
+    // expression into a pushed size() filter — see ChunkSplitter
+    val ws = col("__ws")
     val nChunks = ceil(size(ws).cast("double") / chunkWords.toDouble).cast("int")
-    val chunks = df.withColumn("__chunks",
-      transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
-        i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords)))))
-      .select(col(idKey), posexplode(col("__chunks")).as(Seq("__pos", "__chunk")))
+    val chunks = df
+      .withColumn("__ws", graft.functions.text.words(col(inputKey)))
+      .withColumn("__chunks",
+        transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+          i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords)))))
+      .select(col(idKey), posexplode_outer(col("__chunks")).as(Seq("__pos", "__chunk")))
+      .where(col("__chunk").isNotNull)
     val responded = LLMMap.generated(chunks, "__chunk", "__resp", serving, systemPrompt)
     val reassembled = responded.groupBy(col(idKey))
       .agg(array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__resp")))),
