@@ -341,12 +341,19 @@ object SqlExecutor {
       case _: Throwable => None
     }
 
+  /** Fold check that NEVER throws: a fold-internal error (unexpected
+    * plan/type shape) must fall through to real execution, not fail the
+    * statement — only parse/analysis errors are definitive. */
+  private def tryFold(spark: SparkSession, sql: String): Option[Seq[String]] =
+    try foldedRows(spark, sql)
+    catch { case _: Throwable => None }
+
   def runs(spark: SparkSession, sql: String, timeoutSec: Int): Boolean = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     try {
-      foldedRows(spark, sql) match {
+      tryFold(spark, sql) match {
         case Some(_) => true
         case None =>
           Await.result(Future(spark.sql(sql).limit(1).collect()).map(_ => true)
@@ -364,7 +371,7 @@ object SqlExecutor {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     try {
-      foldedRows(spark, sql) match {
+      tryFold(spark, sql) match {
         case Some(rows) => return Some(SqlBackend.resultSetHash(rows))
         case None => ()
       }
