@@ -948,15 +948,22 @@ object SparkEntry {
     * with e = CAST(embedding AS DOUBLE[]). */
   private def sqlLshBucketCtes(bits: Int, dim: Int, tables: Int): String = {
     val tb = tables * bits
+    // kernel parity on malformed vectors: null/empty vectors emit NO
+    // buckets (kernels.lshBuckets returns empty — never a candidate), and
+    // a short vector zero-pads the tail terms (adding +0.0 to a
+    // left-to-right fold is IEEE-exact, matching the kernel's
+    // min-length loop for the sign test)
     s"""wt AS (SELECT p.g AS p,
        |    list(CASE WHEN ('0x' || substr(md5(p.g || ':' || i.g), 1, 1))::INT % 2 = 0
        |              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY i.g) AS w
        |  FROM range(0, $tb) p(g), range(0, $dim) i(g) GROUP BY 1),
        |dots AS (SELECT v.vec_id, wt.p,
        |    list_reduce(list_prepend(0.0::DOUBLE,
-       |      list_transform(range(1, ${dim + 1}), i -> v.e[i] * wt.w[i])),
+       |      list_transform(range(1, ${dim + 1}),
+       |        i -> CASE WHEN i <= len(v.e) THEN v.e[i] * wt.w[i]
+       |             ELSE 0.0::DOUBLE END)),
        |      (acc, x) -> acc + x) AS dot
-       |  FROM v, wt),
+       |  FROM v, wt WHERE v.e IS NOT NULL AND len(v.e) > 0),
        |codes AS (SELECT vec_id, p // $bits AS tbl,
        |    SUM(CASE WHEN dot > 0 THEN (1::BIGINT << (p % $bits)) ELSE 0 END) AS code
        |  FROM dots GROUP BY 1, 2),

@@ -41,6 +41,15 @@ trait SqlBackend extends Serializable {
 }
 
 object SqlBackend {
+  /** Canonical cell encoding shared by EVERY execution path (JDBC, live
+    * session collect, constant fold): byte arrays hex-encode — their
+    * toString is identity-based, so String.valueOf would hash
+    * nondeterministically — everything else is String.valueOf. */
+  def cell(v: Any): String = v match {
+    case b: Array[Byte] => "0x" + b.map(x => f"$x%02x").mkString
+    case other => String.valueOf(other)
+  }
+
   /** sha256 hex of the sorted row encodings — the canonical result-set
     * fingerprint both backends emit. */
   def resultSetHash(rows: Seq[String]): String = {
@@ -109,7 +118,7 @@ object JdbcSqlBackend {
         var i = 1
         while (i <= n) {
           if (i > 1) sb.append('\u0001')
-          sb.append(String.valueOf(rs.getObject(i)))
+          sb.append(SqlBackend.cell(rs.getObject(i)))
           i += 1
         }
         buf += sb.toString
@@ -150,13 +159,15 @@ final case class SparkSessionBackend(maxDistinct: Int = 100000,
     // does pay off.
     val swept: Seq[(String, Option[Option[String]])] = stmts.map { q =>
       if (!SqlGuard.isSelectStr(q)) q -> Some(None)
-      else q -> SqlExecutor.foldedHash(spark, q)
+      else q -> SqlExecutor.foldedHash(spark, q, timeoutSec)
     }
     val pool = SparkSessionBackend.pool(maxWorkers)
     val tasks = swept.collect { case (q, None) =>
       new java.util.concurrent.Callable[(String, Boolean, String)] {
         def call(): (String, Boolean, String) =
-          SqlExecutor.hashed(spark, q, timeoutSec) match {
+          // the sweep already tried (and failed) the fold for q —
+          // don't repeat its analysis in the pooled task
+          SqlExecutor.hashedImpl(spark, q, timeoutSec, tryFoldFirst = false) match {
             case Some(h) => (q, true, h)
             case None    => (q, false, null)
           }

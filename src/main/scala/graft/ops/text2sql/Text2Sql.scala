@@ -280,10 +280,31 @@ final case class Text2SQLCoTVotingGenerator(sqlKey: String, outputKey: String,
 object SqlExecutor {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.CatalystTypeConverters
-  import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation, Project}
+  import org.apache.spark.sql.catalyst.plans.logical.{Command, DeleteFromTable,
+    InsertIntoStatement, LocalRelation, MergeIntoTable, OneRowRelation,
+    ParsedStatement, Project, UpdateTable}
 
-  /** Constant-statement fast path: a statement whose optimized plan is a
-    * fully-foldable projection over OneRowRelation (or an already-computed
+  /** Parse-level query guard: true iff the statement parses to a PURE
+    * query plan. spark.sql() executes commands (DDL and DML) EAGERLY, so
+    * they must be rejected before any analysis — and a textual
+    * SELECT/WITH prefix check misses WITH-prefixed DML like
+    * `WITH s AS (...) INSERT INTO t SELECT * FROM s`. Parsing is ~0.2 ms
+    * and runs no catalog lookups. */
+  private[text2sql] def parsesAsQuery(spark: SparkSession, sql: String): Boolean =
+    try {
+      val plan = spark.sessionState.sqlParser.parsePlan(sql)
+      plan.collectFirst {
+        case c: Command => c
+        case p: ParsedStatement => p
+        case i: InsertIntoStatement => i
+        case u: UpdateTable => u
+        case d: DeleteFromTable => d
+        case m: MergeIntoTable => m
+      }.isEmpty
+    } catch { case _: Throwable => false }
+
+  /** Constant-statement fast path: a statement whose plan is a fully
+    * foldable projection over OneRowRelation (or an already-computed
     * LocalRelation) is evaluated directly on the driver — no physical
     * planning, no whole-stage codegen. Synthesized SQL corpora are full of
     * one-shot constant statements, and each distinct statement otherwise
@@ -313,7 +334,7 @@ object SqlExecutor {
       case p @ Project(exprs, _: OneRowRelation) if exprs.forall(constant) =>
         val cells = p.output.zip(exprs).map { case (attr, e) =>
           val conv = CatalystTypeConverters.createToScalaConverter(attr.dataType)
-          String.valueOf(conv(e.eval(InternalRow.empty)))
+          SqlBackend.cell(conv(e.eval(InternalRow.empty)))
         }
         Some(Seq(cells.mkString("")))
       case lr: LocalRelation =>
@@ -321,25 +342,11 @@ object SqlExecutor {
           CatalystTypeConverters.createToScalaConverter(a.dataType))
         Some(lr.data.map(row =>
           convs.zipWithIndex.map { case (c, i) =>
-            String.valueOf(c(row.get(i, lr.output(i).dataType)))
+            SqlBackend.cell(c(row.get(i, lr.output(i).dataType)))
           }.mkString("")))
       case _ => None
     }
   }
-
-  /** Three-way fast-path verdict for [[SparkSessionBackend]]'s serial
-    * sweep: Some(Some(hash)) = constant-folded result, Some(None) =
-    * definitive failure (parse/analysis error — pooled execution would
-    * fail identically), None = needs real execution. */
-  private[text2sql] def foldedHash(spark: SparkSession,
-      sql: String): Option[Option[String]] =
-    try foldedRows(spark, sql).map(rows => Some(SqlBackend.resultSetHash(rows)))
-    catch {
-      case _: org.apache.spark.sql.AnalysisException |
-          _: org.apache.spark.sql.catalyst.parser.ParseException =>
-        Some(None)
-      case _: Throwable => None
-    }
 
   /** Fold check that NEVER throws: a fold-internal error (unexpected
     * plan/type shape) must fall through to real execution, not fail the
@@ -348,41 +355,82 @@ object SqlExecutor {
     try foldedRows(spark, sql)
     catch { case _: Throwable => None }
 
+  /** Three-way fast-path verdict for [[SparkSessionBackend]]'s serial
+    * sweep: Some(Some(hash)) = constant-folded result, Some(None) =
+    * definitive failure (non-query statement or parse/analysis error —
+    * pooled execution would fail identically), None = needs real
+    * execution. Runs under the statement timeout: a pathological
+    * constant expression (e.g. repeat('x', 2e9)) must yield a timeout
+    * verdict, not stall the sweep. */
+  private[text2sql] def foldedHash(spark: SparkSession, sql: String,
+      timeoutSec: Int): Option[Option[String]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    if (!parsesAsQuery(spark, sql)) return Some(None)
+    try {
+      Await.result(Future {
+        try foldedRows(spark, sql).map(rows => Some(SqlBackend.resultSetHash(rows)))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException |
+              _: org.apache.spark.sql.catalyst.parser.ParseException =>
+            Some(None)
+          case _: Throwable => None
+        }
+      }, timeoutSec.seconds)
+    } catch { case _: Throwable => Some(None) } // fold timeout: definitive
+  }
+
   def runs(spark: SparkSession, sql: String, timeoutSec: Int): Boolean = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    if (!parsesAsQuery(spark, sql)) return false
     try {
-      tryFold(spark, sql) match {
-        case Some(_) => true
-        case None =>
-          Await.result(Future(spark.sql(sql).limit(1).collect()).map(_ => true)
-            .recover { case _ => false }, timeoutSec.seconds)
-      }
+      Await.result(Future {
+        tryFold(spark, sql) match {
+          case Some(_) => true
+          case None =>
+            try { spark.sql(sql).limit(1).collect(); true }
+            catch { case _: Throwable => false }
+        }
+      }, timeoutSec.seconds)
     } catch { case _: Throwable => false }
   }
 
   /** Timed result fingerprint for execution-compare classification
     * (`sql_execution_classifier.py:15-243`): Some(sha256 of the sorted
     * canonical row encoding) or None on error/timeout. sha256 — a 32-bit
-    * hash would false-match pairs at corpus scale. */
-  def hashed(spark: SparkSession, sql: String, timeoutSec: Int): Option[String] = {
+    * hash would false-match pairs at corpus scale. Rejects non-query
+    * statements without executing them (spark.sql runs commands eagerly). */
+  def hashed(spark: SparkSession, sql: String, timeoutSec: Int): Option[String] =
+    hashedImpl(spark, sql, timeoutSec, tryFoldFirst = true)
+
+  /** `tryFoldFirst = false` skips the fold: [[SparkSessionBackend]]'s
+    * serial sweep has already tried it, and repeating the analysis in the
+    * pooled task would triple per-statement driver work. */
+  private[text2sql] def hashedImpl(spark: SparkSession, sql: String,
+      timeoutSec: Int, tryFoldFirst: Boolean): Option[String] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    if (!parsesAsQuery(spark, sql)) return None
     try {
-      tryFold(spark, sql) match {
-        case Some(rows) => return Some(SqlBackend.resultSetHash(rows))
-        case None => ()
-      }
       Await.result(Future {
-        val rows = spark.sql(sql).collect()
-        // '' control char — the same cell separator JdbcSqlBackend.run
-        // appends, so both backends emit one canonical row encoding and
-        // cross-backend hash comparison is meaningful.
-        Some(SqlBackend.resultSetHash(rows.toSeq.map(r =>
-          r.toSeq.map(String.valueOf).mkString(""))))
-      }.recover { case _: Throwable => None }, timeoutSec.seconds)
+        val folded = if (tryFoldFirst) tryFold(spark, sql) else None
+        folded match {
+          case Some(rows) => Some(SqlBackend.resultSetHash(rows))
+          case None =>
+            try {
+              val rows = spark.sql(sql).collect()
+              // U+0001 cell separator — the same one JdbcSqlBackend.run
+              // appends, so both backends emit one canonical row encoding
+              // and cross-backend hash comparison is meaningful.
+              Some(SqlBackend.resultSetHash(rows.toSeq.map(r =>
+                r.toSeq.map(SqlBackend.cell).mkString(""))))
+            } catch { case _: Throwable => None }
+        }
+      }, timeoutSec.seconds)
     } catch { case _: Throwable => None }
   }
 }

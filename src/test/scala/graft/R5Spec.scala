@@ -253,4 +253,33 @@ class FoldPathSpec extends org.scalatest.funsuite.AnyFunSuite {
         "backend executed corpus DDL against the live session")
     } finally spark.sql("DROP TABLE IF EXISTS guard_victim")
   }
+
+  test("WITH-prefixed DML cannot reach the live session through any path") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE IF NOT EXISTS guard_victim2 (x INT) USING parquet")
+    spark.sql("INSERT INTO guard_victim2 VALUES (1)")
+    try {
+      val sneaky = "WITH s AS (SELECT 2 AS x) INSERT INTO guard_victim2 SELECT x FROM s"
+      // direct executor entry points
+      assert(graft.ops.text2sql.SqlExecutor.hashed(spark, sneaky, 5).isEmpty)
+      assert(!graft.ops.text2sql.SqlExecutor.runs(spark, sneaky, 5))
+      // backend sweep (isSelectStr alone would pass the WITH prefix)
+      val stmts = Seq(sneaky, "SELECT 1 AS x").toDF("sql")
+      val out = graft.ops.text2sql.SparkSessionBackend().execute(stmts, "sql", 5)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(!out(sneaky))
+      assert(out("SELECT 1 AS x"))
+      assert(spark.sql("SELECT COUNT(*) FROM guard_victim2").head().getLong(0) == 1L,
+        "WITH-prefixed INSERT executed against the live session")
+    } finally spark.sql("DROP TABLE IF EXISTS guard_victim2")
+  }
+
+  test("binary cells hash deterministically and identically on both paths") {
+    val q = "SELECT X'0AFF' AS b, 'tag' AS s"
+    val h1 = graft.ops.text2sql.SqlExecutor.hashed(spark, q, 5)
+    val h2 = graft.ops.text2sql.SqlExecutor.hashed(spark, q, 5)
+    assert(h1.isDefined && h1 == h2)
+    // the canonical cell encoding is hex, never Array.toString identity
+    assert(graft.ops.text2sql.SqlBackend.cell(Array[Byte](10, -1)) == "0x0aff")
+  }
 }
