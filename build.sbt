@@ -37,11 +37,13 @@ val baseJvmOpts = jdk17AddOpens ++ Seq(
 // still start on hosts with less free memory. The enlarged code cache
 // keeps 200+ queries x 2 passes of whole-stage-codegen classes from
 // thrashing the JIT (default reserve is 240m).
-// ParallelGC: measured 55-57s bench totals vs 64-69s on G1 and 92s on
-// ZGC at sf0.1 — a throughput collector fits a 32-thread batch workload;
-// concurrent collectors steal cores from compute.
+// ParallelGC (default): measured 55-57s bench totals vs 64-69s on G1 and
+// 92s on ZGC at sf0.1 — a throughput collector fits a 32-thread batch
+// workload; concurrent collectors steal cores from compute. Overridable
+// per-invocation (SPARK_GRAFT_GC=G1GC sbt "runMain graft.Bench") so the
+// collector can be AB-tested on identical code without editing the build.
 javaOptions ++= baseJvmOpts ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:ReservedCodeCacheSize=512m",
-  "-XX:+UseParallelGC")
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "ParallelGC")}")
 Test / javaOptions := baseJvmOpts

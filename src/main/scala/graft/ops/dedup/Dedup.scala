@@ -30,7 +30,7 @@ final case class HashDeduplicateFilter(cols: Seq[String] = Seq("text"),
   val inputKeys = cols :+ orderKey
   val outputKeys = Nil
   def digest: Column = {
-    val c = concat_ws("", cols.map(col): _*)
+    val c = concat_ws("\u0001", cols.map(col): _*)
     algo match {
       case "md5"    => md5(c)
       case "sha256" => sha2(c, 256)

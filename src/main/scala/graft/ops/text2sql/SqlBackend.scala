@@ -13,17 +13,19 @@ object SqlGuard {
   def stripped(c: Column): Column =
     regexp_replace(regexp_replace(c, "--[^\n]*", " "), "(?s)/\\*.*?\\*/", " ")
 
-  /** True iff the comment-stripped statement starts with SELECT or WITH. */
+  /** True iff the comment-stripped statement starts with SELECT or WITH.
+    *
+    * This is the REFERENCE-SEMANTICS filter (`sql_executability_filter.py`
+    * filter_select_sql keeps SELECT-prefixed statements) and is
+    * deliberately textual so the DuckDB oracle can replay it — it is NOT
+    * the execution-safety guard. Safety is enforced separately by
+    * [[SqlExecutor.parsesAsQuery]], the single parse-level check every
+    * execution path runs before touching a statement: a string like
+    * `SELECT 1; DROP TABLE t` passes this textual filter (as it does in
+    * the reference) but fails the parse guard and is never executed.
+    * GuardSpec pins that division of labor. */
   def isSelect(c: Column): Column =
     lower(stripped(c)).rlike("^\\s*(select|with)\\b")
-
-  /** Driver-side twin of [[isSelect]] for backends that receive statement
-    * strings rather than columns. */
-  def isSelectStr(sql: String): Boolean = {
-    val s = sql.replaceAll("--[^\n]*", " ")
-      .replaceAll("(?s)/\\*.*?\\*/", " ")
-    s.trim.toLowerCase(java.util.Locale.ROOT).matches("(?s)^(select|with)\\b.*")
-  }
 }
 
 /** Statement-execution seam for SQLExecutionFilter / SQLExecutionClassifier
@@ -41,12 +43,22 @@ trait SqlBackend extends Serializable {
 }
 
 object SqlBackend {
+  /** Cell separator in the canonical row encoding, shared by every
+    * execution path (JDBC, live-session collect, constant fold). Named —
+    * and written in escaped form — because a raw U+0001 literal in source
+    * is invisible and one formatter pass away from deletion. */
+  val CellSep: String = "\u0001"
+
   /** Canonical cell encoding shared by EVERY execution path (JDBC, live
-    * session collect, constant fold): byte arrays hex-encode — their
-    * toString is identity-based, so String.valueOf would hash
-    * nondeterministically — everything else is String.valueOf. */
+    * session collect, constant fold): byte arrays (and JDBC Blob/array
+    * wrappers) hex- or element-encode — their toString is identity-based,
+    * so String.valueOf would hash nondeterministically across runs —
+    * everything else is String.valueOf. */
   def cell(v: Any): String = v match {
     case b: Array[Byte] => "0x" + b.map(x => f"$x%02x").mkString
+    case b: java.sql.Blob => "0x" + b.getBytes(1, b.length.toInt).map(x => f"$x%02x").mkString
+    case a: java.sql.Array => cell(a.getArray)
+    case arr: Array[_] => arr.map(cell).mkString("[", ",", "]")
     case other => String.valueOf(other)
   }
 
@@ -117,7 +129,7 @@ object JdbcSqlBackend {
         val sb = new StringBuilder
         var i = 1
         while (i <= n) {
-          if (i > 1) sb.append('\u0001')
+          if (i > 1) sb.append(SqlBackend.CellSep)
           sb.append(SqlBackend.cell(rs.getObject(i)))
           i += 1
         }
@@ -146,20 +158,20 @@ final case class SparkSessionBackend(maxDistinct: Int = 100000,
       s"SparkSessionBackend: > $maxDistinct distinct statements; " +
         "use JdbcSqlBackend (distributed) or raise maxDistinct")
     import scala.jdk.CollectionConverters._
-    // SELECT/WITH only, mirroring JdbcSqlBackend's executeQuery (which
-    // throws on non-queries): spark.sql() executes DDL/DML commands
-    // EAGERLY on the live session's catalog, so an unguarded corpus
-    // statement like DROP TABLE would be a real side effect here, not an
-    // execution-failure verdict.
-    // Then a serial constant-fold sweep: synthesized corpora are mostly
-    // one-shot constant statements, and concurrent spark.sql calls
-    // CONTEND on the shared session's analyzer (pooling them measures
-    // ~5x slower than a serial sweep). Only statements that need real
-    // execution go to the worker pool, where parallel job scheduling
-    // does pay off.
+    // Serial constant-fold sweep: synthesized corpora are mostly one-shot
+    // constant statements, and concurrent spark.sql calls CONTEND on the
+    // shared session's analyzer (pooling them measures ~5x slower than a
+    // serial sweep). Only statements that need real execution go to the
+    // worker pool, where parallel job scheduling does pay off.
+    // Statement-type safety lives INSIDE foldedHash (parsesAsQuery, the
+    // parse-level guard): spark.sql() executes DDL/DML eagerly on the
+    // live catalog, so non-query statements get a definitive failure
+    // verdict without running. No textual pre-filter here — a
+    // SELECT-prefix regex wrongly fails query-first forms like
+    // `VALUES (1)`, `(SELECT 1)` or `TABLE t` that JdbcSqlBackend's
+    // executeQuery accepts, and the parse guard classifies correctly.
     val swept: Seq[(String, Option[Option[String]])] = stmts.map { q =>
-      if (!SqlGuard.isSelectStr(q)) q -> Some(None)
-      else q -> SqlExecutor.foldedHash(spark, q, timeoutSec)
+      q -> SqlExecutor.foldedHash(spark, q, timeoutSec)
     }
     val pool = SparkSessionBackend.pool(maxWorkers)
     val tasks = swept.collect { case (q, None) =>

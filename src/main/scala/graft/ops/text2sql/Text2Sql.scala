@@ -336,14 +336,14 @@ object SqlExecutor {
           val conv = CatalystTypeConverters.createToScalaConverter(attr.dataType)
           SqlBackend.cell(conv(e.eval(InternalRow.empty)))
         }
-        Some(Seq(cells.mkString("")))
+        Some(Seq(cells.mkString(SqlBackend.CellSep)))
       case lr: LocalRelation =>
         val convs = lr.output.map(a =>
           CatalystTypeConverters.createToScalaConverter(a.dataType))
         Some(lr.data.map(row =>
           convs.zipWithIndex.map { case (c, i) =>
             SqlBackend.cell(c(row.get(i, lr.output(i).dataType)))
-          }.mkString("")))
+          }.mkString(SqlBackend.CellSep)))
       case _ => None
     }
   }
@@ -378,7 +378,15 @@ object SqlExecutor {
           case _: Throwable => None
         }
       }, timeoutSec.seconds)
-    } catch { case _: Throwable => Some(None) } // fold timeout: definitive
+    } catch {
+      // Only a genuine fold timeout is a definitive failure verdict (a
+      // pathological constant would time out identically under pooled
+      // execution). Any other Await failure — interrupt, a rejected task
+      // on the shared global pool — is an environment hiccup, not a
+      // property of the statement: route to pooled real execution.
+      case _: java.util.concurrent.TimeoutException => Some(None)
+      case _: Throwable => None
+    }
   }
 
   def runs(spark: SparkSession, sql: String, timeoutSec: Int): Boolean = {
@@ -427,7 +435,7 @@ object SqlExecutor {
               // appends, so both backends emit one canonical row encoding
               // and cross-backend hash comparison is meaningful.
               Some(SqlBackend.resultSetHash(rows.toSeq.map(r =>
-                r.toSeq.map(SqlBackend.cell).mkString(""))))
+                r.toSeq.map(SqlBackend.cell).mkString(SqlBackend.CellSep))))
             } catch { case _: Throwable => None }
         }
       }, timeoutSec.seconds)

@@ -18,7 +18,7 @@ class R4Spec extends AnyFunSuite {
         s.range(10).toDF("id").filter(
           udf((_: Long) => throw new IllegalStateException("fails at execution")).apply(col("id"))))
     )
-    val out = Bench.runQueries(spark, sf, queries).toMap
+    val out = Bench.runQueries(spark, sf, queries.toSeq).toMap
     assert(out("ok").error.isEmpty && out("ok").seconds >= 0)
     assert(out("boom").error.exists(_.contains("deliberately broken")))
     // a query that only fails when the plan RUNS must also be caught
@@ -27,13 +27,17 @@ class R4Spec extends AnyFunSuite {
     assert(errors == 2)
   }
 
-  test("bench second-pass timing is reported (two passes per query)") {
-    // a query with a side-effecting counter: both passes must execute
+  test("bench runs every pass (warmup + measured), per the passes knob") {
+    // a query with a side-effecting counter: all passes must execute
     R4Spec.passCounter.set(0)
     val queries = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
       "counted" -> ((s, _) => { R4Spec.passCounter.incrementAndGet(); s.range(5).toDF("id") }))
-    val out = Bench.runQueries(spark, sf, queries).toMap
+    val out = Bench.runQueries(spark, sf, queries.toSeq).toMap
     assert(out("counted").error.isEmpty)
+    // default = 3 (1 discarded warmup + min of 2 measured)
+    assert(R4Spec.passCounter.get() == 3)
+    R4Spec.passCounter.set(0)
+    Bench.runQueries(spark, sf, queries.toSeq, passes = 2, isolate = false)
     assert(R4Spec.passCounter.get() == 2)
   }
 }

@@ -205,7 +205,7 @@ class FoldPathSpec extends org.scalatest.funsuite.AnyFunSuite {
     try {
       val rows = spark.sql(sql).collect()
       Some(graft.ops.text2sql.SqlBackend.resultSetHash(rows.toSeq.map(r =>
-        r.toSeq.map(String.valueOf).mkString(""))))
+        r.toSeq.map(String.valueOf).mkString(graft.ops.text2sql.SqlBackend.CellSep))))
     } catch { case _: Throwable => None }
 
   test("foldable statements hash identically to collect()-based execution") {
@@ -263,7 +263,8 @@ class FoldPathSpec extends org.scalatest.funsuite.AnyFunSuite {
       // direct executor entry points
       assert(graft.ops.text2sql.SqlExecutor.hashed(spark, sneaky, 5).isEmpty)
       assert(!graft.ops.text2sql.SqlExecutor.runs(spark, sneaky, 5))
-      // backend sweep (isSelectStr alone would pass the WITH prefix)
+      // backend sweep (a textual SELECT/WITH prefix check alone would
+      // pass the WITH prefix; the parse-level guard must catch it)
       val stmts = Seq(sneaky, "SELECT 1 AS x").toDF("sql")
       val out = graft.ops.text2sql.SparkSessionBackend().execute(stmts, "sql", 5)
         .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
