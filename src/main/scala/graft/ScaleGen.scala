@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility: replicate a testdata scale-factor directory xN for
+  * scale-evidence runs (`ScaleGen <srcDir> <dstDir> <N>`), preserving
+  * join-key consistency (every foreign key remaps with the same
+  * `key * N + replica` rule as its primary key) and WITHOUT creating
+  * exact clones where clones would distort the measured operator:
+  * document text gets a per-replica suffix and embeddings a tiny
+  * per-replica first-component jitter, so dedup/similarity queries see
+  * a 10x corpus of near-but-not-exact duplicates — the realistic shape —
+  * rather than 10-way identical groups that identical-set collapse
+  * would shortcut. Dimension tables (region, nation) keep TPC-H
+  * semantics and do not scale. */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleGen <srcDir> <dstDir> <N>")
+    val (src, dst, n) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    /** Cross with replica ids 0..n-1 and remap the named long-ish key
+      * columns to key * N + replica. */
+    def scale(df: DataFrame, keys: Seq[String]): DataFrame = {
+      val reps = spark.range(n).toDF("__r")
+      keys.foldLeft(df.crossJoin(reps)) { (d, k) =>
+        val t = df.schema(k).dataType
+        d.withColumn(k, (col(k).cast("long") * n + col("__r")).cast(t))
+      }
+    }
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(scale(read("customer"), Seq("c_custkey")).drop("__r"), "customer")
+    write(scale(read("supplier"), Seq("s_suppkey")).drop("__r"), "supplier")
+    write(scale(read("part"), Seq("p_partkey")).drop("__r"), "part")
+    write(scale(read("orders"), Seq("o_orderkey", "o_custkey")).drop("__r"), "orders")
+    write(scale(read("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")).drop("__r"), "lineitem")
+    write(scale(read("events"), Seq("event_id", "user_id")).drop("__r"), "events")
+    write(scale(read("documents"), Seq("doc_id"))
+      .withColumn("text",
+        when(col("__r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" #r"), col("__r"))))
+      .drop("__r"), "documents")
+    write(scale(read("embeddings"), Seq("vec_id"))
+      .withColumn("embedding",
+        when(col("__r") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            (x, i) => when(i === 0, x + col("__r").cast("float") * lit(0.001f))
+              .otherwise(x))))
+      .drop("__r"), "embeddings")
+    println(s"""{"metric":"scalegen","src":"$src","dst":"$dst","n":$n}""")
+    spark.stop()
+  }
+}

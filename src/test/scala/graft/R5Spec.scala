@@ -129,6 +129,29 @@ class R5Spec extends AnyFunSuite {
     }
   }
 
+  test("pipeline toDot golden file for a 3-op pipeline") {
+    // full-text golden (draw_graph parity, `dataflow/pipeline/Pipeline.py:252`):
+    // any change to the DOT shape must be a conscious diff here
+    val p = graft.core.Pipeline.of(
+      graft.ops.refine.LowercaseRefiner("text"),
+      graft.ops.text.LanguageIdEvaluator("text", "lang_pred"),
+      graft.ops.filter.LanguageFilter("lang_pred", Seq("en")))
+    val expected =
+      """digraph pipeline {
+        |  rankdir=LR;
+        |  node [shape=box];
+        |  source [label="source", shape=oval];
+        |  op0 [label="lowercase_refiner\n<LowercaseRefiner>\n(step=0)"];
+        |  op1 [label="language_id_evaluator\n<LanguageIdEvaluator>\n(step=1)"];
+        |  op2 [label="language_filter\n<LanguageFilter>\n(step=2)"];
+        |  source -> op0 [label="text"];
+        |  source -> op1 [label="text"];
+        |  op1 -> op2 [label="lang_pred"];
+        |}
+        |""".stripMargin
+    assert(p.toDot(Seq("doc_id", "text")) == expected)
+  }
+
   // ── vector-SQL (lembed → vec_f32 literal) rewriting ─────────────────────
 
   test("lembed rewriting embeds string literals and splices vec_f32") {
