@@ -55,7 +55,6 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // "isolated" (default) = the recorded methodology: quiesce + warmup +
     // min-of-2-measured. "session" = fast smoke: no quiesce, min-of-2.
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "isolated")
@@ -66,14 +65,7 @@ object Bench {
     // per-query measurement — tools/standalone_bench.sh
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSpark.session()
     // warm the session (codegen, scan infra) so the first measured query
     // doesn't absorb one-time JVM/session init
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan inspection utility: prints the formatted physical plan for the
   * named queries (default: a representative set). Used to keep the plans
   * honest — filter/projection pushdown reaching the parquet scan,
@@ -15,14 +13,7 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing", "q3_revenue_by_customer", "q5_region_revenue",
         "filter_word_number", "dedup_hash", "sim_topk_brute")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSpark.session()
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

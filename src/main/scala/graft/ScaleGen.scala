@@ -18,15 +18,8 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleGen <srcDir> <dstDir> <N>")
     val (src, dst, n) = (args(0), args(1), args(2).toInt)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // generation is write-heavy; default to all cores unless overridden
+    val spark = LocalSpark.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
@@ -63,7 +56,7 @@ object ScaleGen {
             (x, i) => when(i === 0, x + col("__r").cast("float") * lit(0.001f))
               .otherwise(x))))
       .drop("__r"), "embeddings")
-    println(s"""{"metric":"scalegen","src":"$src","dst":"$dst","n":$n}""")
+    println(s"""{"metric":"scalegen","src":${LocalSpark.jsonStr(src)},"dst":${LocalSpark.jsonStr(dst)},"n":$n}""")
     spark.stop()
   }
 }

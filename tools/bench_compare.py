@@ -25,6 +25,14 @@ def main():
     a, b = load(sys.argv[1]), load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     shared = sorted(set(a) & set(b))
+    if not shared:
+        raise SystemExit("no shared queries between the two inputs")
+    # queries present in only one file would silently escape every gate
+    only_a, only_b = sorted(set(a) - set(b)), sorted(set(b) - set(a))
+    if only_a:
+        print(f"WARNING: {len(only_a)} queries only in A: {only_a}")
+    if only_b:
+        print(f"WARNING: {len(only_b)} queries only in B: {only_b}")
     ta, tb = sum(a[k] for k in shared), sum(b[k] for k in shared)
     print(f"shared={len(shared)} totalA={ta:.2f}s totalB={tb:.2f}s "
           f"B/A={tb / ta:.3f}")
