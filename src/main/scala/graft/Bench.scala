@@ -61,6 +61,9 @@ object Bench {
     val isolate = mode != "session"
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt)
       .getOrElse(if (isolate) 3 else 2)
+    // passes=0 would skip every measurement and record total=Infinity
+    // with errors=0 — a garbage run that looks valid
+    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
     // comma-separated query-name filter, for standalone (fresh-JVM)
     // per-query measurement — tools/standalone_bench.sh
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -24,17 +24,4 @@ object LocalSpark {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
-
-  /** JSON string escape for metric/manifest lines: backslash, quote, and
-    * ALL control chars (<0x20) — a tab or CR in interpolated content
-    * would otherwise make any json.loads consumer fail. */
-  def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
 }

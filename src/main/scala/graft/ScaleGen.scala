@@ -13,7 +13,16 @@ import org.apache.spark.sql.functions._
   * a 10x corpus of near-but-not-exact duplicates — the realistic shape —
   * rather than 10-way identical groups that identical-set collapse
   * would shortcut. Dimension tables (region, nation) keep TPC-H
-  * semantics and do not scale. */
+  * semantics and do not scale.
+  *
+  * Known schema infidelity: events.parquet's ts is TIMESTAMP(NANOS),
+  * which the session reads as long (`nanosAsLong`) and Spark can only
+  * write back as plain INT64. Spark-side queries behave identically on
+  * the scaled directory (they read the long either way), but DuckDB sees
+  * BIGINT instead of TIMESTAMP_NS, so the `epoch_ns(ts)` oracle SQL for
+  * events queries does not replay against a scaled directory — scaled
+  * dirs are bench evidence, with correctness gated at the source scale
+  * factors. */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleGen <srcDir> <dstDir> <N>")
@@ -56,7 +65,7 @@ object ScaleGen {
             (x, i) => when(i === 0, x + col("__r").cast("float") * lit(0.001f))
               .otherwise(x))))
       .drop("__r"), "embeddings")
-    println(s"""{"metric":"scalegen","src":${LocalSpark.jsonStr(src)},"dst":${LocalSpark.jsonStr(dst)},"n":$n}""")
+    println(s"""{"metric":"scalegen","src":${Json.str(src)},"dst":${Json.str(dst)},"n":$n}""")
     spark.stop()
   }
 }

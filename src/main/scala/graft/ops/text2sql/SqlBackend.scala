@@ -52,13 +52,22 @@ object SqlBackend {
   /** Canonical cell encoding shared by EVERY execution path (JDBC, live
     * session collect, constant fold): byte arrays (and JDBC Blob/array
     * wrappers) hex- or element-encode — their toString is identity-based,
-    * so String.valueOf would hash nondeterministically across runs —
-    * everything else is String.valueOf. */
+    * so String.valueOf would hash nondeterministically across runs.
+    * Spark's collect path delivers array columns as scala Seq, map
+    * columns as scala Map (iteration order is hash-order, so entries are
+    * sorted), and struct columns as Row — each gets the same
+    * element-encoded form as its JDBC counterpart so cross-backend hash
+    * comparison stays meaningful. Everything else is String.valueOf. */
   def cell(v: Any): String = v match {
     case b: Array[Byte] => "0x" + b.map(x => f"$x%02x").mkString
     case b: java.sql.Blob => "0x" + b.getBytes(1, b.length.toInt).map(x => f"$x%02x").mkString
     case a: java.sql.Array => cell(a.getArray)
     case arr: Array[_] => arr.map(cell).mkString("[", ",", "]")
+    case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, v2) => cell(k) + ":" + cell(v2) }
+        .sorted.mkString("{", ",", "}")
+    case r: Row => r.toSeq.map(cell).mkString("[", ",", "]")
     case other => String.valueOf(other)
   }
 

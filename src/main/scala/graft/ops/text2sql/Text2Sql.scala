@@ -280,6 +280,24 @@ final case class Text2SQLCoTVotingGenerator(sqlKey: String, outputKey: String,
 object SqlExecutor {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.CatalystTypeConverters
+
+  /** Dedicated executor for timed statement work (fold sweeps and live
+    * collects). A cached pool — NOT the shared global EC — so a
+    * pathological statement whose thread outlives its timeout (eval
+    * cannot be interrupted) only leaks its own thread: the next statement
+    * always gets a fresh one instead of queueing behind stuck work and
+    * timing out before its Future even starts. */
+  private lazy val timedEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(
+        new java.util.concurrent.ThreadFactory {
+          private val c = new java.util.concurrent.atomic.AtomicInteger()
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-sqltimed-${c.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
   import org.apache.spark.sql.catalyst.plans.logical.{Command, DeleteFromTable,
     InsertIntoStatement, LocalRelation, MergeIntoTable, OneRowRelation,
     ParsedStatement, Project, UpdateTable}
@@ -366,7 +384,7 @@ object SqlExecutor {
       timeoutSec: Int): Option[Option[String]] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = timedEc
     if (!parsesAsQuery(spark, sql)) return Some(None)
     try {
       Await.result(Future {
@@ -381,10 +399,14 @@ object SqlExecutor {
     } catch {
       // Only a genuine fold timeout is a definitive failure verdict (a
       // pathological constant would time out identically under pooled
-      // execution). Any other Await failure — interrupt, a rejected task
-      // on the shared global pool — is an environment hiccup, not a
-      // property of the statement: route to pooled real execution.
+      // execution). A thread interrupt is a CANCELLATION — restore the
+      // flag and propagate so the sweep aborts instead of executing the
+      // remaining corpus. Any other Await failure is an environment
+      // hiccup, not a property of the statement: route to pooled real
+      // execution.
       case _: java.util.concurrent.TimeoutException => Some(None)
+      case ie: InterruptedException =>
+        Thread.currentThread().interrupt(); throw ie
       case _: Throwable => None
     }
   }
@@ -392,7 +414,7 @@ object SqlExecutor {
   def runs(spark: SparkSession, sql: String, timeoutSec: Int): Boolean = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = timedEc
     if (!parsesAsQuery(spark, sql)) return false
     try {
       Await.result(Future {
@@ -421,7 +443,7 @@ object SqlExecutor {
       timeoutSec: Int, tryFoldFirst: Boolean): Option[String] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
+    implicit val ec: scala.concurrent.ExecutionContext = timedEc
     if (!parsesAsQuery(spark, sql)) return None
     try {
       Await.result(Future {

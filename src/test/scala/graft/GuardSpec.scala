@@ -80,4 +80,23 @@ class GuardSpec extends AnyFunSuite {
     val blob2 = new javax.sql.rowset.serial.SerialBlob(Array[Byte](10, -1))
     assert(SqlBackend.cell(blob) == SqlBackend.cell(blob2))
   }
+
+  test("Spark collect-path values encode like their JDBC counterparts") {
+    import graft.ops.text2sql.SqlBackend
+    // Spark's Row.toSeq delivers array columns as scala Seq — it must
+    // match JDBC's java.sql.Array element encoding, not toString
+    // ("ArraySeq(a, 2)"), or cross-backend hash comparison silently
+    // breaks for any array-typed result column
+    assert(SqlBackend.cell(scala.collection.mutable.ArraySeq.make(
+      Array[Any]("a", 2))) == "[a,2]")
+    assert(SqlBackend.cell(Seq("a", 2)) == "[a,2]")
+    // map columns: entry iteration order is hash-order — the encoding
+    // sorts entries so two equal maps always hash identically
+    assert(SqlBackend.cell(Map("b" -> 2, "a" -> 1)) ==
+      SqlBackend.cell(Map("a" -> 1, "b" -> 2)))
+    assert(SqlBackend.cell(Map("b" -> 2, "a" -> 1)) == "{a:1,b:2}")
+    // struct columns arrive as Row
+    assert(SqlBackend.cell(org.apache.spark.sql.Row("a", Seq(1, 2))) ==
+      "[a,[1,2]]")
+  }
 }

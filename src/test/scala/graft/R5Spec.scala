@@ -222,13 +222,15 @@ class FoldPathSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions._
   import spark.implicits._
 
-  /** The slow path's encoding, replicated literally: collect() and join
+  /** The slow path's encoding, replicated literally: collect(), cell-
+    * encode (arrays/maps/structs element-encode, not toString), join
     * cells with the U+0001 separator, sha256 over sorted rows. */
   private def slowHash(sql: String): Option[String] =
     try {
       val rows = spark.sql(sql).collect()
       Some(graft.ops.text2sql.SqlBackend.resultSetHash(rows.toSeq.map(r =>
-        r.toSeq.map(String.valueOf).mkString(graft.ops.text2sql.SqlBackend.CellSep))))
+        r.toSeq.map(graft.ops.text2sql.SqlBackend.cell)
+          .mkString(graft.ops.text2sql.SqlBackend.CellSep))))
     } catch { case _: Throwable => None }
 
   test("foldable statements hash identically to collect()-based execution") {

@@ -40,11 +40,15 @@ run runC_g1_isolated SPARK_GRAFT_GC=G1GC
 run runD_g1_isolated SPARK_GRAFT_GC=G1GC
 run runE_session SPARK_GRAFT_BENCH_MODE=session
 
-HEADLINE="q1_pricing q3_revenue_by_customer q5_region_revenue join_bucketed \
-sort_topk_orders window_running_sum stream_window_agg dedup_hash dedup_ccnet \
-dedup_minhash dedup_minhash_mllib dedup_simhash dedup_sem_lsh dedup_kcenter \
-sim_topk_brute sim_lsh_topk sim_ivf_topk sim_join eval_bleu eval_cider_d \
-kbc_chunks t2s_execution t2s_exec_classify text_quality_score text_fingerprint"
+# The headline set is NOT hand-copied from Bench.scala: the recorded
+# total line's "queries" keys ARE Bench's headline Vector, so deriving
+# the list from runA keeps the standalone 1.3x gate covering exactly the
+# set the recorded JSON reports — the two cannot drift.
+HEADLINE=$(python3 -c "
+import json, sys
+total = [json.loads(l) for l in open('$OUT/runA_parallel_isolated.json')
+         if '\"metric\":\"total\"' in l][-1]
+print(' '.join(total['queries']))")
 echo "=== standalone $(date -u +%H:%M:%S) ==="
 tools/standalone_bench.sh $HEADLINE > "$OUT/standalone_raw.jsonl"
 python3 - "$OUT/standalone_raw.jsonl" "$OUT/standalone.json" $HEADLINE <<'EOF'
