@@ -27,11 +27,148 @@ object Ops {
   private def template(opName: String, p: Params): Option[graft.core.PromptTemplate] =
     p.get("prompt_template").map(graft.core.PromptRegistry.resolve(opName, _))
 
-  def registerAll(): Unit = synchronized {
+  /** Install the module loaders and force-load every module — the
+    * original eager behavior, kept for all existing callers. */
+  def registerAll(): Unit = {
+    installModules()
+    Registry.loadAllModules()
+  }
+
+  /** Install the per-module lazy loaders without materializing any
+    * factory: a later `Registry.get` loads modules in declaration order
+    * until the requested name resolves — the reference registry's
+    * import-on-demand walk (`dataflow/utils/registry.py:75-121`). */
+  def registerLazy(): Unit = installModules()
+
+  private[graft] def resetForTest(): Unit = synchronized { registered = false }
+
+  private def installModules(): Unit = synchronized {
     if (registered) return
     registered = true
     registerPrompts()
-    val entries: Seq[(String, Params => Op)] = Seq(
+    val byName = entries.toMap
+    modules.foreach { case (m, names) =>
+      Registry.registerModule(m)(names.iterator.map(n => n -> byName(n)).toMap)
+    }
+  }
+
+  /** name → module partition mirroring the reference's operator package
+    * directories (the registry's lazy loader map over the
+    * `dataflow.operators` subpackages, `utils/registry.py:66-73`), so a
+    * whitelist written against the reference's module layout translates
+    * directly. ModulesSpec enforces that this partitions [[entries]]
+    * exactly (every name in exactly one module). */
+  private[graft] val modules: Seq[(String, Seq[String])] = Seq(
+    "general_text" -> Seq(
+      "word_number_filter", "colon_end_filter", "sentence_number_filter",
+      "line_end_ellipsis_filter", "content_null_filter",
+      "symbol_word_ratio_filter", "alpha_words_filter", "html_entity_filter",
+      "id_card_filter", "no_punc_filter", "special_character_filter",
+      "watermark_filter", "mean_word_length_filter", "stop_word_filter",
+      "curly_bracket_filter", "capital_words_filter", "lorem_ipsum_filter",
+      "unique_words_filter", "char_number_filter", "line_start_bullet_filter",
+      "line_javascript_filter", "blocklist_filter", "ngram_filter",
+      "language_filter", "lexical_diversity_filter",
+      "remove_emoji_refiner", "remove_extra_spaces_refiner",
+      "remove_number_refiner", "remove_punctuation_refiner",
+      "remove_repetitions_punctuation_refiner", "remove_stopwords_refiner",
+      "remove_image_refs_refiner", "html_entity_refiner",
+      "html_url_remover_refiner", "lowercase_refiner",
+      "remove_contractions_refiner", "reference_remover_refiner",
+      "text_normalization_refiner", "pii_anonymize_refiner", "ner_refiner",
+      "stemming_refiner", "remove_emoticons_refiner",
+      "spelling_correction_refiner", "stemming_lemmatization_refiner",
+      "hash_deduplicate_filter", "ccnet_deduplicate_filter",
+      "ngram_hash_deduplicate_filter", "minhash_deduplicate_filter",
+      "simhash_deduplicate_filter", "sem_deduplicate_filter",
+      "kcenter_greedy_filter", "minhash_lsh_mllib_deduplicate_filter",
+      "ngram_sample_evaluator", "lexical_diversity_sample_evaluator",
+      "qa_f1_sample_evaluator", "bleu_sample_evaluator",
+      "langkit_sample_evaluator", "presidio_sample_evaluator",
+      "language_id_evaluator", "quality_score_evaluator",
+      "token_count_evaluator", "fingerprint_evaluator", "presidio_filter",
+      "langkit_filter", "perspective_sample_evaluator", "perspective_filter"),
+    "core_text" -> Seq(
+      "prompted_generator", "prompted_filter", "prompted_refiner",
+      "prompted_evaluator", "llm_language_filter", "llm_output_parser",
+      "text2qa_sample_evaluator", "meta_sample_evaluator",
+      "bert_sample_evaluator", "condor_generator", "sft_generator_seed",
+      "bench_answer_generator"),
+    "text_pt" -> Seq(
+      "fineweb_edu_filter", "perplexity_filter", "qurating_filter",
+      "pair_qual_filter", "textbook_filter", "debertav3_filter",
+      "model_score_evaluator", "qurating_sample_evaluator",
+      "fineweb_edu_sample_evaluator", "perplexity_sample_evaluator",
+      "pair_qual_sample_evaluator", "textbook_sample_evaluator",
+      "debertav3_sample_evaluator"),
+    "text_sft" -> Seq(
+      "alpagasus_filter", "deita_complexity_filter", "deita_quality_filter",
+      "instag_filter", "rm_filter", "superfiltering_filter",
+      "treeinstruct_filter", "alpagasus_sample_evaluator",
+      "deita_quality_sample_evaluator", "deita_complexity_sample_evaluator",
+      "instag_sample_evaluator", "rm_sample_evaluator",
+      "superfiltering_sample_evaluator", "treeinstruct_sample_evaluator"),
+    "text2sql" -> Seq(
+      "sql_executability_filter", "sql_component_classifier",
+      "sql_execution_filter", "sql_execution_classifier",
+      "text2sql_correspondence_filter", "sql_by_column_generator",
+      "vec_sql_rewrite_generator", "spider_hardness_classifier",
+      "text2sql_cot_generator"),
+    "reasoning" -> Seq(
+      "answer_format_filter", "answer_groundtruth_filter",
+      "answer_ngram_filter", "answer_token_length_filter",
+      "reasoning_question_fusion_generator",
+      "reasoning_question_category_sample_evaluator",
+      "reasoning_question_difficulty_sample_evaluator",
+      "reasoning_question_solvable_sample_evaluator",
+      "reasoning_question_generator", "reasoning_question_filter",
+      "reasoning_answer_model_judge_filter",
+      "reasoning_answer_pipeline_root_filter",
+      "reasoning_answer_extraction_qwen_math_eval_generator"),
+    "conversations" -> Seq(
+      "conversation_builder", "conversation_stats_evaluator",
+      "system_column_merger", "composition_task_filter",
+      "scenario_extract_generator", "scenario_expand_generator",
+      "atom_task_generator", "sequential_task_generator",
+      "para_seq_task_generator", "function_generator",
+      "multi_turn_conversation_generator",
+      "func_call_conversation_sample_evaluator"),
+    "core_vision" -> Seq(
+      "binary_metadata_evaluator", "image_decode_double", "frame_sampler",
+      "image_resize_double", "image_decoder", "image_resizer",
+      "prompted_vqa_generator", "vqa_formatter"),
+    "core_speech" -> Seq("wav_metadata_evaluator", "speech2text_generator"),
+    "code" -> Seq(
+      "code_length_filter", "code_comment_ratio_evaluator",
+      "code_encoded_data_filter", "code_text_composition_filter",
+      "code_auto_generated_filter", "code_document_quality_filter",
+      "code_file_type_content_filter", "code_quality_score_filter",
+      "code_score_filter", "code_sandbox_sample_evaluator",
+      "code_length_sample_evaluator", "code_text_composition_sample_evaluator",
+      "code_auto_generated_sample_evaluator",
+      "code_encoded_data_sample_evaluator",
+      "code_code_to_instruction_generator", "code_instruction_generator",
+      "code_enhancement_instruction_generator",
+      "code_instruction_to_code_generator", "phi4qa_generator",
+      "code_length_sample_filter", "code_document_quality_sample_evaluator",
+      "code_quality_sample_evaluator"),
+    "chemistry" -> Seq(
+      "extract_smiles_from_text_generator",
+      "smiles_equivalence_dataset_evaluator"),
+    "knowledge_cleaning" -> Seq(
+      "chunk_splitter", "kbc_chunk_generator_batch", "kbc_text_cleaner",
+      "kbc_text_cleaner_batch", "text2multihopqa_generator",
+      "kbc_multihop_qa_generator_batch"),
+    "agentic_rag" -> Seq(
+      "agenticrag_atomic_task_generator", "agenticrag_depth_qa_generator",
+      "agenticrag_width_qa_generator"),
+    "pdf2vqa" -> Seq(
+      "qa_extract_generator", "mathbook_question_extract", "pdf_merger",
+      "qa_extractor"))
+
+  private[graft] def entryNames: Seq[String] = entries.map(_._1)
+
+  private def entries: Seq[(String, Params => Op)] = Seq(
       "word_number_filter" -> (p => WordNumberFilter(key(p), i(p, "min", 20), i(p, "max", 100000))),
       "colon_end_filter" -> (p => ColonEndFilter(key(p))),
       "sentence_number_filter" -> (p => SentenceNumberFilter(key(p), i(p, "min", 1), i(p, "max", 1000))),
@@ -236,8 +373,6 @@ object Ops {
       "sft_generator_seed" -> (p => graft.ops.gen.SFTGeneratorSeed(p.getOrElse("seed_key", "seed"), Registry.serving(p))),
       "bench_answer_generator" -> (p => graft.ops.gen.BenchAnswerGenerator(p.getOrElse("question_key", "question"), Registry.serving(p))),
       "smiles_equivalence_dataset_evaluator" -> (p => graft.core.TransformOp("smiles_equivalence_dataset_evaluator", Seq(p.getOrElse("gold_key", "golden_label"), p.getOrElse("synth_key", "synth_smiles")), Seq("total", "equivalent", "accuracy"), SmilesEquivalenceDatasetEvaluator(p.getOrElse("gold_key", "golden_label"), p.getOrElse("synth_key", "synth_smiles")).apply)))
-    entries.foreach { case (n, f) => Registry.register(n)(f) }
-  }
 
   /** Default prompt templates (the analogue of the `dataflow/prompts`
     * package — core_text / text2qa / kbcleaning families) plus the per-op
