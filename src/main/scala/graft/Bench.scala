@@ -3,10 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** One query's measurement: seconds for the best measured pass, or an
-    * error. A query that throws (any pass) is recorded as an error, never
-    * silently timed. */
-  final case class Result(seconds: Double, error: Option[String])
+  /** One query's measurement: seconds for the best measured pass, the
+    * max/min ratio across the measured passes (1.0 when only one pass is
+    * measured — a free per-run noise estimate, since both passes ran the
+    * same plan on the same data back-to-back), or an error. A query that
+    * throws (any pass) is recorded as an error, never silently timed. */
+  final case class Result(seconds: Double, spread: Double, error: Option[String])
 
   /** Measure each query.
     *
@@ -36,19 +38,23 @@ object Bench {
             System.gc()
           }
           var best = Double.MaxValue
+          var worst = 0.0
           var p = 0
           val warmups = if (passes >= 3) 1 else 0
           while (p < passes) {
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             val s = (System.nanoTime() - t0) / 1e9
-            if (p >= warmups && s < best) best = s
+            if (p >= warmups) {
+              if (s < best) best = s
+              if (s > worst) worst = s
+            }
             p += 1
           }
-          Result(best, None)
+          Result(best, if (best > 0) worst / best else 1.0, None)
         } catch {
           case e: Throwable =>
-            Result(-1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
+            Result(-1.0, 1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
         }
       name -> r
     }
@@ -79,8 +85,9 @@ object Bench {
       case None        => SparkEntry.queries.toSeq
     }
     val measured = runQueries(spark, sfDir, selected, passes, isolate)
-    val results = measured.collect { case (n, Result(s, None)) => n -> s }.toMap
-    val errors = measured.collect { case (n, Result(_, Some(e))) => n -> e }
+    val results = measured.collect { case (n, Result(s, _, None)) => n -> s }.toMap
+    val spreads = measured.collect { case (n, Result(_, sp, None)) => n -> sp }
+    val errors = measured.collect { case (n, Result(_, _, Some(e))) => n -> e }
 
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only the last ~2000 chars of output, so the
@@ -90,6 +97,24 @@ object Bench {
     val qsAll = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"all_queries","queries":$qsAll}""")
+    // In-run noise estimate from the two measured passes of each query
+    // (same plan, same data, back-to-back): the median and p90 of the
+    // per-query max/min pass ratio certify a single run's self-
+    // consistency without needing a second full run. Queries under
+    // 100 ms are excluded from the aggregate (their ratio is dominated
+    // by scheduler jitter, not measurement drift); the worst offenders
+    // above that floor are listed so a spike is attributable.
+    val ratios = spreads.collect {
+      case (n, sp) if results.getOrElse(n, 0.0) >= 0.1 => n -> sp
+    }.sortBy(-_._2)
+    if (ratios.nonEmpty && passes >= 2) {
+      val sorted = ratios.map(_._2).sorted
+      val med = sorted(sorted.size / 2)
+      val p90 = sorted(math.min(sorted.size - 1, (sorted.size * 9) / 10))
+      val worst = ratios.take(5).map { case (n, sp) =>
+        s"\"" + n + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
+      println(s"""{"metric":"pass_noise","median":${f"$med%.3f"},"p90":${f"$p90%.3f"},"nqueries":${ratios.size},"worst":$worst}""")
+    }
     errors.foreach { case (n, e) =>
       println(s"""{"metric":"query_error","query":"$n","error":"${e.replace("\"", "'").replace("\\", "/").replaceAll("[\\x00-\\x1F]", " ")}"}""")
     }

@@ -48,20 +48,21 @@ object Partitioning {
   }
 
   /** Persist bucketed by key — co-located scan-side joins with zero
-    * shuffle for every later consumer of the same key. Idempotent: drops
-    * the catalog entry AND any orphaned warehouse directory left by a
-    * previous session (CREATE TABLE refuses to reuse a location). */
+    * shuffle for every later consumer of the same key. Written as an
+    * EXTERNAL table (explicit path at the default warehouse location):
+    * managed CTAS refuses any pre-existing non-empty location
+    * (LOCATION_ALREADY_EXISTS) — a landmine when a previous session, a
+    * crashed run, or an unchecked filesystem delete leaves the directory
+    * behind — while external + overwrite owns the directory lifecycle
+    * itself, making the write idempotent without a manual delete. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = spark.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-    val path = new org.apache.hadoop.fs.Path(loc)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet").option("path", loc.toString).saveAsTable(table)
   }
 }

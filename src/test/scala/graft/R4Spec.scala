@@ -36,6 +36,8 @@ class R4Spec extends AnyFunSuite {
     assert(out("counted").error.isEmpty)
     // default = 3 (1 discarded warmup + min of 2 measured)
     assert(R4Spec.passCounter.get() == 3)
+    // the two measured passes yield a max/min noise ratio ≥ 1
+    assert(out("counted").spread >= 1.0)
     R4Spec.passCounter.set(0)
     Bench.runQueries(spark, sf, queries.toSeq, passes = 2, isolate = false)
     assert(R4Spec.passCounter.get() == 2)
