@@ -83,8 +83,9 @@ final case class NgramHashDeduplicateFilter(inputKey: String = "text",
 /** MinHash + LSH-banding near-dedup
   * (`minhash_deduplicate_filter.py:9-88`: datasketch MinHash 128 perms,
   * threshold 0.9). Pipeline: shingle → 128-perm minhash signature → 32
-  * band keys → self-join on (band, key) → EXACT Jaccard verify on
-  * candidate pairs → drop the later row of every similar pair. */
+  * band keys → self-join on (band, key) with the EXACT Jaccard verify
+  * scored INSIDE the join (ids-only exchanges) → drop the later row of
+  * every similar pair. */
 final case class MinHashDeduplicateFilter(inputKey: String = "text",
     orderKey: String = "doc_id", ngram: Int = 3, numPerm: Int = 128,
     bands: Int = 32, threshold: Double = 0.9,
@@ -131,14 +132,23 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     // and BOTH sides of the pair verify — uncached, each consumer re-runs
     // the shingle hashing over the whole corpus. Persist it (spills to
     // disk at scale), materialize the duplicate ids eagerly, release.
-    val withSh = df.select(col(orderKey),
-      shingleHashes(words(col(inputKey))).as("__sh"))
+    val withSh = shingled(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try applyOverShingles(df, withSh)
-    finally withSh.unpersist(false)
+    try {
+      val dups = duplicateIds(withSh)
+        .localCheckpoint() // eager: one id column — lets apply() unpersist
+      df.join(dups, Seq(orderKey), "left_anti")
+    } finally withSh.unpersist(false)
   }
 
-  private def applyOverShingles(df: DataFrame, withSh: DataFrame): DataFrame = {
+  /** (orderKey, sorted distinct shingle hashes) per row. */
+  private[graft] def shingled(df: DataFrame): DataFrame =
+    df.select(col(orderKey), shingleHashes(words(col(inputKey))).as("__sh"))
+
+  /** The ids to drop, as a lazily-planned single-column DataFrame —
+    * split from apply() so plan lints can inspect the exchanges before
+    * the eager checkpoint erases them. */
+  private[graft] def duplicateIds(withSh: DataFrame): DataFrame = {
     // Skew phase: collapse IDENTICAL shingle sets first. Exact-duplicate
     // clusters (m copies of one doc) share every band, so the band
     // self-join would emit O(m²) candidate pairs per cluster — the 100 TB
@@ -153,8 +163,21 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     val ranked = nonEmpty.withColumn("__rn", row_number().over(wIdent))
     val identDups = ranked.filter(col("__rn") > 1).select(col(orderKey))
     val reps = ranked.filter(col("__rn") === 1).drop("__rn")
+    // Banding carries the shingle array through the band shuffle (one
+    // replica per band — LINEAR in corpus size) so the exact verify runs
+    // INSIDE the band self-join, same score-before-shuffle shape as
+    // SemDeduplicateFilter: only surviving duplicate ids (one long each)
+    // ever reach an exchange. The alternative — distinct the candidate
+    // PAIRS first, then join the arrays back per pair — verifies each
+    // pair once instead of once per shared band, but its array-fetch
+    // joins shuffle (pairs × both arrays), which is QUADRATIC in
+    // near-dup-cluster size: a ×100 scale run (100-way near-dup
+    // clusters) ran that shape out of heap. Re-walking a pair that
+    // shares several bands costs ≤ bands cheap merge-walks and is
+    // embarrassingly parallel; the per-pair j's collapse map-side in
+    // the final distinct.
     val banded = reps.withColumn("__band", explode(bandKeys(col("__sh"))))
-      .select(col(orderKey), col("__band"))
+      .select(col(orderKey), col("__sh"), col("__band"))
     // Residual near-identical (but not identical) clusters can still
     // produce hot buckets: cap them. Buckets ≤ maxBandBucket pair
     // all-vs-all (exact); larger buckets pair members against the bucket
@@ -164,24 +187,22 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       .agg(count(lit(1)).as("__cnt"), min(col(orderKey)).as("__bmin"))
     val bandedS = banded.join(stats, Seq("__band"))
     val small = bandedS.filter(col("__cnt") <= maxBandBucket)
-      .select(col(orderKey), col("__band"))
-    val candSmall = small.toDF("i", "__band")
-      .join(small.toDF("j", "__band"), Seq("__band"))
-      .where(col("i") < col("j")).select("i", "j")
-    val candBig = bandedS.filter(col("__cnt") > maxBandBucket &&
-        col(orderKey) =!= col("__bmin"))
-      .select(col("__bmin").as("i"), col(orderKey).as("j"))
-    // distinct BEFORE the exact verify, so candidates sharing several
-    // bands are checked once, not once per band
-    val cand = candSmall.union(candBig).distinct()
-    val bandDups = cand
-      .join(reps.select(col(orderKey).as("i"), col("__sh").as("sh_i")), Seq("i"))
-      .join(reps.select(col(orderKey).as("j"), col("__sh").as("sh_j")), Seq("j"))
+    val l = small.select(col("__band"), col(orderKey).as("i"), col("__sh").as("sh_i"))
+    val r = small.select(col("__band"), col(orderKey).as("j"), col("__sh").as("sh_j"))
+    val dupsSmall = l.join(r, Seq("__band")).where(col("i") < col("j"))
       .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
       .select(col("j").as(orderKey))
-    val dups = identDups.union(bandDups).distinct()
-      .localCheckpoint() // eager: one id column — lets apply() unpersist
-    df.join(dups, Seq(orderKey), "left_anti")
+    val big = bandedS.filter(col("__cnt") > maxBandBucket)
+    // the bucket minimum is itself a member of the bucket, so its array
+    // is already in `big` — no join back to reps
+    val minArr = big.filter(col(orderKey) === col("__bmin"))
+      .select(col("__band"), col("__sh").as("sh_i"))
+    val dupsBig = big.filter(col(orderKey) =!= col("__bmin"))
+      .select(col("__band"), col(orderKey).as("j"), col("__sh").as("sh_j"))
+      .join(minArr, Seq("__band"))
+      .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
+      .select(col("j").as(orderKey))
+    identDups.union(dupsSmall).union(dupsBig).distinct()
   }
 }
 
