@@ -113,19 +113,12 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     udf { hs: Seq[Long] => graft.functions.kernels.minhashBandKeys(hs, np, nb) }
   }
 
-  /** Exact Jaccard over two SORTED long arrays — single merge walk. */
-  private val jaccard = udf { (x: Seq[Long], y: Seq[Long]) =>
-    var i = 0; var j = 0; var inter = 0
-    val n = x.length; val m = y.length
-    while (i < n && j < m) {
-      val a = x(i); val b = y(j)
-      if (a == b) { inter += 1; i += 1; j += 1 }
-      else if (a < b) i += 1
-      else j += 1
-    }
-    val union = n + m - inter
-    if (union == 0) 1.0 else inter.toDouble / union.toDouble
-  }
+  /** Exact Jaccard over two SORTED long arrays — a codegen'd in-place
+    * merge walk ([[graft.functions.JaccardSorted]]). It runs once per
+    * shared band per candidate pair, so a per-call array copy (the UDF
+    * form) would dominate the job's allocation at scale. */
+  private def jaccard(x: Column, y: Column): Column =
+    graft.functions.expressions.jaccardSorted(x, y)
 
   def apply(df: DataFrame): DataFrame = {
     // The shingle table feeds the identical-set window, the banding pass,
@@ -185,11 +178,19 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     // pairs between two later members of a >cap bucket.
     val stats = banded.groupBy("__band")
       .agg(count(lit(1)).as("__cnt"), min(col(orderKey)).as("__bmin"))
-    val bandedS = banded.join(stats, Seq("__band"))
+    // Every join below keys on __band, and BOTH sides of each are
+    // corpus-sized (stats has a row per band bucket; the self-join sides
+    // carry the shingle arrays). Catalyst's static estimate of the stats
+    // aggregate is small enough to pick BroadcastHashJoin, which at ×100
+    // scale means broadcasting a multi-GB table — force spill-safe
+    // sort-merge instead. SMJ is also the cheap choice here: all three
+    // joins then share one hashpartitioning(__band) + sort, so the
+    // arrays cross a single exchange.
+    val bandedS = banded.join(stats.hint("merge"), Seq("__band"))
     val small = bandedS.filter(col("__cnt") <= maxBandBucket)
     val l = small.select(col("__band"), col(orderKey).as("i"), col("__sh").as("sh_i"))
     val r = small.select(col("__band"), col(orderKey).as("j"), col("__sh").as("sh_j"))
-    val dupsSmall = l.join(r, Seq("__band")).where(col("i") < col("j"))
+    val dupsSmall = l.join(r.hint("merge"), Seq("__band")).where(col("i") < col("j"))
       .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
       .select(col("j").as(orderKey))
     val big = bandedS.filter(col("__cnt") > maxBandBucket)
@@ -199,7 +200,7 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       .select(col("__band"), col("__sh").as("sh_i"))
     val dupsBig = big.filter(col(orderKey) =!= col("__bmin"))
       .select(col("__band"), col(orderKey).as("j"), col("__sh").as("sh_j"))
-      .join(minArr, Seq("__band"))
+      .join(minArr.hint("merge"), Seq("__band"))
       .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
       .select(col("j").as(orderKey))
     identDups.union(dupsSmall).union(dupsBig).distinct()
@@ -247,17 +248,21 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
     val banded = reps.withColumn("__seg", seg)
     val stats = banded.groupBy("__seg")
       .agg(count(lit(1)).as("__cnt"), min(col(orderKey)).as("__bmin"))
-    val bandedS = banded.join(stats, Seq("__seg"))
+    // Corpus-sized × corpus-sized joins: force spill-safe sort-merge so
+    // a small static estimate of the stats aggregate (or of reps) can
+    // never pick a corpus-sized broadcast — same hazard as the minhash
+    // band joins, where it OOM'd a ×100 run.
+    val bandedS = banded.join(stats.hint("merge"), Seq("__seg"))
     val small = bandedS.filter(col("__cnt") <= maxBandBucket)
     val l = small.select(col(orderKey).as("i"), col("__sig").as("sig_i"), col("__seg"))
     val r = small.select(col(orderKey).as("j"), col("__sig").as("sig_j"), col("__seg"))
-    val candSmall = l.join(r, Seq("__seg")).where(col("i") < col("j"))
+    val candSmall = l.join(r.hint("merge"), Seq("__seg")).where(col("i") < col("j"))
       .select(col("i"), col("j"), col("sig_i"), col("sig_j"))
     val bigSigs = bandedS.filter(col("__cnt") > maxBandBucket)
     val candBig = bigSigs.filter(col(orderKey) =!= col("__bmin"))
       .select(col("__bmin").as("i"), col(orderKey).as("j"), col("__seg"))
-      .join(reps.select(col(orderKey).as("i"), col("__sig").as("sig_i")), Seq("i"))
-      .join(reps.select(col(orderKey).as("j"), col("__sig").as("sig_j")), Seq("j"))
+      .join(reps.select(col(orderKey).as("i"), col("__sig").as("sig_i")).hint("merge"), Seq("i"))
+      .join(reps.select(col(orderKey).as("j"), col("__sig").as("sig_j")).hint("merge"), Seq("j"))
       .select(col("i"), col("j"), col("sig_i"), col("sig_j"))
     val bandDups = candSmall.union(candBig)
       .where(bit_count(col("sig_i").bitwiseXOR(col("sig_j"))) <= hammingK)
@@ -304,7 +309,9 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
         // shuffle — never candidate rows dragging two embedding arrays.
         // A pair colliding in several tables re-scores (64 FLOPs) and
         // then dedups by id, which the final distinct() already does.
-        l.join(r, Seq("__bucket")).where(col("i") < col("j"))
+        // merge hint: both sides are corpus-sized and carry the vector —
+        // a static-estimate broadcast here would ship the whole corpus
+        l.join(r.hint("merge"), Seq("__bucket")).where(col("i") < col("j"))
           .where(cos >= 1.0 - eps)
           .select(col("j").as(orderKey)).distinct()
       }

@@ -144,7 +144,9 @@ object Similarity {
     // only surviving ~24-byte rows, not every candidate with two 1 KB
     // vectors attached; duplicate-table collisions re-score (64 FLOPs)
     // instead of re-shuffling
-    l.join(r, Seq("__bucket")).where(col("a") < col("b"))
+    // merge hint: both sides are corpus-sized and carry the vector — a
+    // small static size estimate must never pick a corpus broadcast
+    l.join(r.hint("merge"), Seq("__bucket")).where(col("a") < col("b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")

@@ -79,6 +79,43 @@ class R6Spec extends AnyFunSuite {
       s"kept ${kept.toSeq.sorted.take(10)}... (${kept.size})")
   }
 
+  test("corpus-sized joins never plan as broadcast from static estimates") {
+    // On tiny test inputs Catalyst's static size estimates make EVERY
+    // join broadcast-eligible — exactly the condition under which the
+    // scale hazard hides. The merge hints must hold regardless: the
+    // band/bucket self-joins, the stats joins, and the sig-fetch joins
+    // pair corpus-sized sides (a ×100 run OOM'd broadcasting the minhash
+    // stats aggregate, whose static estimate stays small at any scale).
+    // The one legitimate broadcast candidate is the final left_anti
+    // (dup-ids side, bounded in the checkpointed minhash path).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    def joins(df: org.apache.spark.sql.DataFrame, allowedBroadcasts: Int): Unit = {
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val bhj = root.collect { case j: BroadcastHashJoinExec => j }
+      val bnl = root.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnl.isEmpty, s"nested-loop broadcast join in plan: $bnl")
+      assert(bhj.size <= allowedBroadcasts,
+        s"${bhj.size} broadcast joins (allowed $allowedBroadcasts): " +
+          bhj.map(_.leftKeys.mkString(",")).mkString(" | "))
+    }
+    val docs = (nearDupCluster(30) ++ uniques(900L, 10)).toDF("doc_id", "text")
+    val mh = MinHashDeduplicateFilter("text", "doc_id")
+    joins(mh.duplicateIds(mh.shingled(docs)), allowedBroadcasts = 0)
+    joins(graft.ops.dedup.SimHashDeduplicateFilter("text", "doc_id")(docs),
+      allowedBroadcasts = 1) // the final left_anti only
+    val embs = (0L until 50L).map(i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 64 + d))))
+      .toDF("vec_id", "embedding")
+    joins(graft.ops.dedup.SemDeduplicateFilter("embedding", "vec_id")(embs),
+      allowedBroadcasts = 1) // the final left_anti only
+    joins(graft.ops.sim.Similarity.similarityJoin(
+      embs, "embedding", "vec_id", 0.95), allowedBroadcasts = 0)
+  }
+
   test("no exchange carries candidate pairs with both shingle arrays") {
     val df = (nearDupCluster(50) ++ uniques(9000L, 20)).toDF("doc_id", "text")
     val op = MinHashDeduplicateFilter("text", "doc_id")
