@@ -268,7 +268,10 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
       .where(bit_count(col("sig_i").bitwiseXOR(col("sig_j"))) <= hammingK)
       .select(col("j").as(orderKey))
     val dups = identDups.union(bandDups).distinct()
-    df.join(dups, Seq(orderKey), "left_anti")
+    // shuffle_hash: dups is 8-byte ids but CAN be corpus-sized (dup-heavy
+    // corpora), while its narrow static estimate invites a broadcast that
+    // would OOM at scale; hashing the id side beats sorting the full df
+    df.join(dups.hint("shuffle_hash"), Seq(orderKey), "left_anti")
   }
 }
 
@@ -315,7 +318,8 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
           .where(cos >= 1.0 - eps)
           .select(col("j").as(orderKey)).distinct()
       }
-    df.join(dups, Seq(orderKey), "left_anti")
+    // see SimHashDeduplicateFilter: id-side shuffle_hash, never broadcast
+    df.join(dups.hint("shuffle_hash"), Seq(orderKey), "left_anti")
   }
 }
 

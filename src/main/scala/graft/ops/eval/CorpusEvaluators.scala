@@ -97,13 +97,14 @@ object CorpusEvaluators {
     val tf = tagged.groupBy(idKey, "n", "gram").agg(
       sum(when(col("side") === "p", 1).otherwise(0)).as("tf_p"),
       sum(when(col("side") === "r", 1).otherwise(0)).as("tf_r"))
-    // NO broadcast hint: unlike the unigram variant's vocab-bounded idf,
-    // the distinct 3/4-gram table grows with the corpus — a forced
-    // broadcast would OOM the driver at scale. AQE still picks broadcast
-    // when it happens to be small.
+    // merge hint: unlike the unigram variant's vocab-bounded idf, the
+    // distinct 3/4-gram table grows with the corpus, and an aggregate's
+    // narrow STATIC size estimate picks a broadcast before AQE ever sees
+    // the real size (the mechanism that OOM'd the minhash ×100 run) — a
+    // corpus-sized broadcast would kill the driver at scale.
     val dfq = tf.filter(col("tf_r") > 0)
       .groupBy("n", "gram").agg(count(lit(1)).as("dfreq"))
-    val w = tf.join(dfq, Seq("n", "gram"), "left")
+    val w = tf.join(dfq.hint("merge"), Seq("n", "gram"), "left")
       .withColumn("idfw",
         lit(math.log(nDocs)) - log(greatest(lit(1.0), coalesce(col("dfreq"), lit(0.0)))))
       .withColumn("wp", col("tf_p") * col("idfw"))
@@ -117,7 +118,7 @@ object CorpusEvaluators {
       greatest(wordCount(col(refKey)) - 1, lit(0)).cast("double").as("lr"))
     val delta = col("lp") - col("lr")
     val penalty = exp(-(delta * delta) / lit(2.0 * sigma * sigma))
-    val valN = perN.join(lens, Seq(idKey))
+    val valN = perN.join(lens.hint("merge"), Seq(idKey))
       .withColumn("val",
         when(col("np") === 0 || col("nr") === 0, 0.0)
           .otherwise(col("dot") / (col("np") * col("nr"))) * penalty)

@@ -156,7 +156,9 @@ final case class ChunkedPromptedGenerator(inputKey: String, idKey: String,
     val reassembled = responded.groupBy(col(idKey))
       .agg(array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__resp")))),
         s => s("__resp")), " | ").as(outputKey))
-    df.join(reassembled, Seq(idKey), "left")
+    // merge hint: reassembled is one row per input row — corpus-sized —
+    // but its aggregate-derived static estimate invites a broadcast
+    df.join(reassembled.hint("merge"), Seq(idKey), "left")
   }
 }
 

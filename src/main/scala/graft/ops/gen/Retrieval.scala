@@ -36,12 +36,14 @@ final case class RetrievalGenerator(queryKey: String, outputKey: String,
     // rank-ordered context per query
     val ctx = topk
       .join(cEmb.select(col(idKey).as("neighbor_id"),
-        col(corpusTextKey).as("__ctx")), Seq("neighbor_id"))
+        col(corpusTextKey).as("__ctx")).hint("merge"), Seq("neighbor_id"))
       .groupBy(col("query_id").as(idKey))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("rank"), col("__ctx")))),
         s => s("__ctx")), " | ").as("__context"))
-    val prompted = df.join(ctx, Seq(idKey), "left")
+    // merge hints (both joins): topk×corpus and df×per-query-aggregate
+    // pair corpus-scaled sides whose static estimates can pick broadcast
+    val prompted = df.join(ctx.hint("merge"), Seq(idKey), "left")
       .withColumn("__p",
         concat(coalesce(col("__context"), lit("")), lit(" <SEP> "), col(queryKey)))
     LLMMap.generated(prompted, "__p", outputKey, serving, systemPrompt)

@@ -123,7 +123,10 @@ final case class SQLExecutionFilter(sqlKey: String, timeoutSec: Int = 5,
     val distinct = df.filter(SqlGuard.isSelect(col(sqlKey)))
       .select(sqlKey).distinct()
     val verdicts = backend.execute(distinct, sqlKey, timeoutSec)
-    df.join(verdicts.select(col(sqlKey), col("__ok")), Seq(sqlKey), "left")
+    // merge hint: verdicts is one row per distinct statement — it scales
+    // with the corpus, and its narrow static estimate invites a broadcast
+    df.join(verdicts.select(col(sqlKey), col("__ok")).hint("merge"),
+        Seq(sqlKey), "left")
       .filter(coalesce(col("__ok"), lit(false)))
       .drop("__ok")
   }
@@ -173,9 +176,11 @@ final case class SQLExecutionClassifier(promptKey: String, goldKey: String,
       col("__ok").as("__gok"), col("__hash").as("__ghash"))
     val cv = verdicts.select(col("__stmt").as("__cand"),
       col("__ok").as("__cok"), col("__hash").as("__chash"))
+    // merge hints: gv/cv/counted all scale with the statement corpus but
+    // carry aggregate-derived (small) static size estimates
     val counted = cands
-      .join(gv, Seq(goldKey), "left")
-      .join(cv, Seq("__cand"), "left")
+      .join(gv.hint("merge"), Seq(goldKey), "left")
+      .join(cv.hint("merge"), Seq("__cand"), "left")
       .groupBy("__rid")
       .agg(sum(when(col("__gok") && col("__cok") &&
         col("__chash") === col("__ghash"), 1).otherwise(0)).as("__cnt"))
@@ -183,7 +188,7 @@ final case class SQLExecutionClassifier(promptKey: String, goldKey: String,
     val label = thresholds.zip(labels).foldRight(lit(labels.last): Column) {
       case ((t, l), acc) => when(cnt <= t, l).otherwise(acc)
     }
-    withId.join(counted, Seq("__rid"), "left")
+    withId.join(counted.hint("merge"), Seq("__rid"), "left")
       .withColumn(outputKey, label)
       .drop("__rid", "__cnt")
   }
