@@ -17,8 +17,11 @@ object LocalSpark {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-      // type for; read as long (nanos since epoch) and convert on use.
+      // pre-r6 testdata carried TIMESTAMP(NANOS) in events.parquet, which
+      // Spark has no native type for; this reads it as long (nanos since
+      // epoch). Current testdata is TIMESTAMP(us) and unaffected; the
+      // flag stays so old scaled directories remain readable — ts
+      // consumers adapt by type (Streaming.tsEpochNanos).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

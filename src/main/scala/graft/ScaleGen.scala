@@ -15,14 +15,13 @@ import org.apache.spark.sql.functions._
   * would shortcut. Dimension tables (region, nation) keep TPC-H
   * semantics and do not scale.
   *
-  * Known schema infidelity: events.parquet's ts is TIMESTAMP(NANOS),
-  * which the session reads as long (`nanosAsLong`) and Spark can only
-  * write back as plain INT64. Spark-side queries behave identically on
-  * the scaled directory (they read the long either way), but DuckDB sees
-  * BIGINT instead of TIMESTAMP_NS, so the `epoch_ns(ts)` oracle SQL for
-  * events queries does not replay against a scaled directory — scaled
-  * dirs are bench evidence, with correctness gated at the source scale
-  * factors. */
+  * events.parquet's ts round-trips by type generation (see
+  * `Streaming.tsEpochNanos`): current testdata carries TIMESTAMP(us),
+  * which Spark reads as TIMESTAMP_NTZ and writes back as-is, so the
+  * `epoch_ns(ts)` oracle SQL replays against a scaled directory too.
+  * (Pre-r6 testdata carried TIMESTAMP(NANOS) → read as long under
+  * `nanosAsLong` → written back as plain INT64, which DuckDB saw as
+  * BIGINT — those scaled dirs were bench evidence only.) */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleGen <srcDir> <dstDir> <N>")

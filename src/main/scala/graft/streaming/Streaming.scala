@@ -36,18 +36,39 @@ object Streaming {
       .start()
   }
 
+  /** `ts` as exact epoch nanos, across testdata generations: either
+    * INT64 epoch nanos (TIMESTAMP(NANOS) parquet read under
+    * `nanosAsLong` — pre-r6 testdata and old ScaleGen output) or a real
+    * TIMESTAMP / TIMESTAMP_NTZ (micros — current testdata). The NTZ→TZ
+    * cast is exact under the UTC session `LocalSpark` pins (DuckDB's
+    * `epoch_ns` treats naive timestamps as UTC the same way). Integer
+    * arithmetic throughout — epoch nanos (~1.7e18) exceed 2^53, so any
+    * double detour can land boundary timestamps in the wrong window. */
+  private[graft] def tsEpochNanos(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType => col(name)
+      case _ => unix_micros(col(name).cast("timestamp")) * 1000L
+    }
+
+  /** `ts` as an event-time TIMESTAMP column, same two generations. */
+  private[graft] def tsAsTimestamp(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"$name div 1000"))
+      case _ => col(name).cast("timestamp")
+    }
+
   /** Event-time tumbling-window aggregation over the events table.
-    * `ts` arrives as long nanos (TIMESTAMP(NANOS) parquet read with
-    * nanosAsLong); `div` is true integer division — Column./ on longs is
-    * DOUBLE division, and epoch nanos (~1.7e18) exceed 2^53, so the double
-    * path can land boundary timestamps in the wrong window. sum_value is
-    * canonicalized to double (Spark widens sum(decimal) differently from
-    * other engines). */
+    * `div` is true integer division — Column./ on longs is DOUBLE
+    * division (see [[tsEpochNanos]]). sum_value is canonicalized to
+    * double (Spark widens sum(decimal) differently from other
+    * engines). */
   def windowedEventStats(events: DataFrame, widthSec: Long): DataFrame = {
     val widthNanos = widthSec * 1000000000L
     events
+      .withColumn("__ns", tsEpochNanos(events))
       .withColumn("window_start",
-        expr(s"CAST(ts AS BIGINT) div ${widthNanos}L") * widthSec)
+        expr(s"__ns div ${widthNanos}L") * widthSec)
       .groupBy(col("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(20,2)")).cast("double"), 2).as("sum_value"))
@@ -57,8 +78,7 @@ object Streaming {
     * late data beyond the watermark is dropped, state is bounded. */
   def windowedEventStatsStreaming(stream: DataFrame, widthSec: Long,
       watermark: String = "10 minutes"): DataFrame = {
-    val ts = (col("ts").cast("double") / 1e9).cast("timestamp")
-    stream.withColumn("__ts", ts)
+    stream.withColumn("__ts", tsAsTimestamp(stream))
       .withWatermark("__ts", watermark)
       .groupBy(window(col("__ts"), s"$widthSec seconds"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -70,8 +90,7 @@ object Streaming {
     * fault-tolerant (its set survives only within one process run). */
   def streamingDedup(stream: DataFrame, hashCol: Column,
       watermark: String = "1 hour"): DataFrame = {
-    val ts = (col("ts").cast("double") / 1e9).cast("timestamp")
-    stream.withColumn("__ts", ts)
+    stream.withColumn("__ts", tsAsTimestamp(stream))
       .withColumn("__h", hashCol)
       .withWatermark("__ts", watermark)
       .dropDuplicates("__h")
