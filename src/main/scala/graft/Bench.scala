@@ -4,11 +4,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** One query's measurement: seconds for the best measured pass, the
-    * max/min ratio across the measured passes (1.0 when only one pass is
-    * measured — a free per-run noise estimate, since both passes ran the
-    * same plan on the same data back-to-back), or an error. A query that
-    * throws (any pass) is recorded as an error, never silently timed. */
-  final case class Result(seconds: Double, spread: Double, error: Option[String])
+    * ratio between the two BEST measured passes (1.0 when only one pass
+    * is measured), the number of noise retries taken, or an error.
+    *
+    * `spread` certifies the reported min: passes run the same plan on
+    * the same data back-to-back, so the second-best pass landing close
+    * to the best means the figure is reproducible. (With exactly two
+    * measured passes this is the same max/min ratio rounds ≤6 reported;
+    * with retries it deliberately ignores a transient co-load spike
+    * that a later pass disproved.) A query that throws (any pass) is
+    * recorded as an error, never silently timed. */
+  final case class Result(seconds: Double, spread: Double, error: Option[String], retried: Int = 0)
 
   /** Measure each query.
     *
@@ -37,21 +43,40 @@ object Bench {
             spark.catalog.clearCache()
             System.gc()
           }
-          var best = Double.MaxValue
-          var worst = 0.0
+          val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+          def onePass(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
           var p = 0
           val warmups = if (passes >= 3) 1 else 0
           while (p < passes) {
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            val s = (System.nanoTime() - t0) / 1e9
-            if (p >= warmups) {
-              if (s < best) best = s
-              if (s > worst) worst = s
-            }
+            val s = onePass()
+            if (p >= warmups) times += s
             p += 1
           }
-          Result(best, if (best > 0) worst / best else 1.0, None)
+          // spread over the two best passes; 1.0 with a single pass
+          def spreadOf(ts: Seq[Double]): Double = {
+            val srt = ts.sorted
+            if (srt.size >= 2 && srt.head > 0) srt(1) / srt.head else 1.0
+          }
+          // Noise retry (round 7): when the two best passes disagree
+          // >1.3x, the larger one is almost certainly external co-load
+          // (the r5/r6 recorded artifacts each misstated 1-2 queries by
+          // 5-12x this way while the code was provably fine). Re-measure
+          // — bounded at 2 extra passes — so a transient spike has to
+          // recur to survive into the artifact. Sub-100ms queries are
+          // skipped: their ratio is scheduler jitter, and the noise
+          // aggregate already excludes them.
+          var retried = 0
+          while (times.size >= 2 && times.min >= 0.1 &&
+                 spreadOf(times.toSeq) > 1.3 && retried < 2) {
+            if (isolate) { spark.catalog.clearCache(); System.gc() }
+            times += onePass()
+            retried += 1
+          }
+          Result(times.min, spreadOf(times.toSeq), None, retried)
         } catch {
           case e: Throwable =>
             Result(-1.0, 1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
@@ -85,9 +110,9 @@ object Bench {
       case None        => SparkEntry.queries.toSeq
     }
     val measured = runQueries(spark, sfDir, selected, passes, isolate)
-    val results = measured.collect { case (n, Result(s, _, None)) => n -> s }.toMap
-    val spreads = measured.collect { case (n, Result(_, sp, None)) => n -> sp }
-    val errors = measured.collect { case (n, Result(_, _, Some(e))) => n -> e }
+    val results = measured.collect { case (n, Result(s, _, None, _)) => n -> s }.toMap
+    val spreads = measured.collect { case (n, Result(_, sp, None, _)) => n -> sp }
+    val errors = measured.collect { case (n, Result(_, _, Some(e), _)) => n -> e }
 
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only the last ~2000 chars of output, so the
@@ -97,24 +122,28 @@ object Bench {
     val qsAll = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"all_queries","queries":$qsAll}""")
-    // In-run noise estimate from the two measured passes of each query
-    // (same plan, same data, back-to-back): the median and p90 of the
-    // per-query max/min pass ratio certify a single run's self-
-    // consistency without needing a second full run. Queries under
-    // 100 ms are excluded from the aggregate (their ratio is dominated
-    // by scheduler jitter, not measurement drift); the worst offenders
-    // above that floor are listed so a spike is attributable.
+    // In-run noise estimate from each query's two BEST measured passes
+    // (same plan, same data, back-to-back): the median and p90 of that
+    // per-query ratio certify a single run's self-consistency without
+    // needing a second full run. Queries under 100 ms are excluded from
+    // the aggregate (their ratio is dominated by scheduler jitter, not
+    // measurement drift); the worst offenders above that floor are
+    // listed so a spike is attributable. `retried` counts queries whose
+    // initial passes disagreed >1.3x and were re-measured.
     val ratios = spreads.collect {
       case (n, sp) if results.getOrElse(n, 0.0) >= 0.1 => n -> sp
     }.sortBy(-_._2)
-    if (ratios.nonEmpty && passes >= 2) {
-      val sorted = ratios.map(_._2).sorted
-      val med = sorted(sorted.size / 2)
-      val p90 = sorted(math.min(sorted.size - 1, (sorted.size * 9) / 10))
-      val worst = ratios.take(5).map { case (n, sp) =>
-        s"\"" + n + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
-      println(s"""{"metric":"pass_noise","median":${f"$med%.3f"},"p90":${f"$p90%.3f"},"nqueries":${ratios.size},"worst":$worst}""")
-    }
+    val retriedCount = measured.count(_._2.retried > 0)
+    val noiseP90: Option[Double] =
+      if (ratios.nonEmpty && passes >= 2) {
+        val sorted = ratios.map(_._2).sorted
+        val med = sorted(sorted.size / 2)
+        val p90 = sorted(math.min(sorted.size - 1, (sorted.size * 9) / 10))
+        val worst = ratios.take(5).map { case (n, sp) =>
+          s"\"" + n + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
+        println(s"""{"metric":"pass_noise","median":${f"$med%.3f"},"p90":${f"$p90%.3f"},"nqueries":${ratios.size},"retried":$retriedCount,"worst":$worst}""")
+        Some(p90)
+      } else None
     errors.foreach { case (n, e) =>
       println(s"""{"metric":"query_error","query":"$n","error":"${e.replace("\"", "'").replace("\\", "/").replaceAll("[\\x00-\\x1F]", " ")}"}""")
     }
@@ -134,7 +163,13 @@ object Bench {
     // isolated warmup + min-of-two-measured — so cross-round totals are
     // only compared like-for-like
     val stat = if (passes >= 3) "min_after_warmup" else "min"
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","mode":"$mode","passes":$passes,"stat":"$stat","nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
+    // Even after per-query retries, a run whose noise p90 exceeds 1.2
+    // is flagged untrendable IN the artifact of record: a co-loaded
+    // machine can still inflate the total, but it can no longer do so
+    // silently — any consumer trending totals must skip flagged runs.
+    val untrendable = noiseP90.exists(_ > 1.2)
+    val untrendableField = if (untrendable) "\"untrendable\":true," else ""
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","mode":"$mode","passes":$passes,"stat":"$stat",$untrendableField"nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // failure-honest: any query that threw makes the bench itself red
     if (errors.nonEmpty) sys.exit(1)

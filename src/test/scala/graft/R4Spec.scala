@@ -42,6 +42,25 @@ class R4Spec extends AnyFunSuite {
     Bench.runQueries(spark, sf, queries.toSeq, passes = 2, isolate = false)
     assert(R4Spec.passCounter.get() == 2)
   }
+
+  test("bench re-measures a query whose passes disagree >1.3x and keeps the min") {
+    // Simulates a one-off co-load spike: the first measured pass is 4x
+    // slower than every later pass. The harness must (a) retry, (b)
+    // report the reproducible min, (c) certify the two best passes.
+    R4Spec.passCounter.set(0)
+    val queries = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "noisy" -> ((s, _) => {
+        val n = R4Spec.passCounter.incrementAndGet()
+        Thread.sleep(n match { case 1 => 0L; case 2 => 600L; case _ => 150L })
+        s.range(5).toDF("id")
+      }))
+    val out = Bench.runQueries(spark, sf, queries.toSeq).toMap
+    val r = out("noisy")
+    assert(r.error.isEmpty)
+    assert(r.retried >= 1, "600ms vs 150ms disagreement must trigger a retry")
+    assert(r.seconds < 0.5, "reported figure is the reproducible min, not the spike")
+    assert(r.retried <= 2, "retries are bounded")
+  }
 }
 
 object R4Spec {
