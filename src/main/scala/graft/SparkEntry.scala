@@ -54,6 +54,12 @@ object SparkEntry {
   private def sqlWordCount(c: String) = s"len(${sqlWords(c)})"
   private val D = "documents"
 
+  /** Where sim_ivf_topk exports its trained centroids for the DuckDB
+    * oracle to read back (absolute so the static oracle SQL can name
+    * it; under the system temp dir, never inside the read-only
+    * testdata). */
+  private val IvfCentroidDir = "/tmp/graft_ivf_centroids"
+
   private case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
   private def oracled(sql: String)(fn: (SparkSession, String) => DataFrame) = Q(fn, Some(sql))
   private def rowsOnly(fn: (SparkSession, String) => DataFrame) = Q(fn, None)
@@ -940,6 +946,13 @@ object SparkEntry {
     s"($dot) / (($na) * ($nb))"
   }
 
+  /** DuckDB sequential-fold dot product over DOUBLE[] (bit-matches the
+    * `dot += ct(j) * v(j)` loop in Similarity.ivfTopK's centroid
+    * ranking). */
+  private def sqlDot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
   /** DuckDB twin of `kernels.lshBuckets` / `cosine_lsh_buckets`: CTEs
     * `wt` (±1 plane weights from md5-nibble parity, one ORDERED list per
     * plane), `dots` (left-to-right folded dot per (vec, plane) — the same
@@ -1006,10 +1019,36 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 5)
     },
-    "sim_ivf_topk" -> rowsOnly { (s, dir) =>
+    // Full value oracle despite the MLlib k-means: training isn't
+    // SQL-replayable, but the RUN exports its trained centroids
+    // (ivfTopK exportDir) and everything downstream — raw-dot argmax
+    // assignment (normalization provably drops out of the argsort),
+    // top-nProbe probing with the same (dot DESC, list_id) tie-break as
+    // the stable sortBy, exact in-list cosine rank — replays bit for
+    // bit. Export is keyed by corpus row count so the sf0.01 verify
+    // export and the sf0.1 bench export coexist.
+    "sim_ivf_topk" -> oracled(
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT list_id, center FROM read_parquet('$IvfCentroidDir/*/*.parquet')
+         |  WHERE sf_rows = (SELECT count(*) FROM embeddings)),
+         |ranked AS (SELECT vec_id, list_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, list_id) AS rn
+         |  FROM (SELECT v.vec_id, c.list_id, ${sqlDot("c.center", "v.e", 64)} AS dot
+         |        FROM v CROSS JOIN cent c)),
+         |assign AS (SELECT vec_id, list_id FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, list_id FROM ranked WHERE rn <= 4 AND vec_id < 5),
+         |scored AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    ${sqlCosine("vq.e", "va.e", 64)} AS cos
+         |  FROM probes q JOIN assign a ON a.list_id = q.list_id AND a.vec_id <> q.vec_id
+         |  JOIN v vq ON vq.vec_id = q.vec_id JOIN v va ON va.vec_id = a.vec_id)
+         |SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
-        "embedding", "vec_id", k = 5, nLists = 16, nProbe = 4)
+        "embedding", "vec_id", k = 5, nLists = 16, nProbe = 4,
+        exportDir = Some(IvfCentroidDir))
     },
     // The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
     // at sf0.01), so a 0.9 threshold correctly returns zero pairs; 0.4 has
@@ -1671,8 +1710,11 @@ object SparkEntry {
     "eval_cider_d" -> oracled {
       // full CIDEr-D mirror (`cider/cider.py:10-120`): per-n clipped
       // tf-idf cosine × gaussian length penalty over bigram-count delta
+      // grams are 60-bit md5 prefixes on BOTH sides (see ciderD's kernel
+      // note): same counts, 8-byte exchange keys
       def side(c: String) = (1 to 4).map(k =>
-        s"SELECT doc_id, $k AS n, unnest(${sqlWordNgrams(c, k)}) AS gram FROM pairs")
+        s"SELECT doc_id, $k AS n, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram " +
+          s"FROM (SELECT doc_id, unnest(${sqlWordNgrams(c, k)}) AS g FROM pairs)")
         .mkString(" UNION ALL ")
       s"""WITH pairs AS (
          |  SELECT a.doc_id, a.text AS pred, b.text AS gold

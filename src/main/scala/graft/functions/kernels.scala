@@ -24,6 +24,20 @@ object kernels {
   def splitWords(s: String): Array[String] =
     if (s == null) Array.empty else s.split("\\s+").filter(_.nonEmpty)
 
+  /** First 60 bits of md5 (= first 15 hex chars) as a long — the
+    * replayable-hash idiom in fixed-width form: DuckDB recomputes it as
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` (60 bits always fit a
+    * signed BIGINT; 16 nibbles could overflow it). */
+  def md5Prefix60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var bi = 0
+    while (bi < 8) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
+    h >>> 4
+  }
+
   // ── SimHash ────────────────────────────────────────────────────────────
 
   /** 60-bit simhash over word tokens

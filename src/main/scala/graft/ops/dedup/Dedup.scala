@@ -176,17 +176,17 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     // all-vs-all (exact); larger buckets pair members against the bucket
     // minimum only — a documented approximation that can miss borderline
     // pairs between two later members of a >cap bucket.
-    val stats = banded.groupBy("__band")
-      .agg(count(lit(1)).as("__cnt"), min(col(orderKey)).as("__bmin"))
-    // Every join below keys on __band, and BOTH sides of each are
-    // corpus-sized (stats has a row per band bucket; the self-join sides
-    // carry the shingle arrays). Catalyst's static estimate of the stats
-    // aggregate is small enough to pick BroadcastHashJoin, which at ×100
-    // scale means broadcasting a multi-GB table — force spill-safe
-    // sort-merge instead. SMJ is also the cheap choice here: all three
-    // joins then share one hashpartitioning(__band) + sort, so the
-    // arrays cross a single exchange.
-    val bandedS = banded.join(stats.hint("merge"), Seq("__band"))
+    // Bucket count and minimum as WINDOW aggregates over __band: the
+    // band self-join below already needs hashpartitioning(__band), and a
+    // whole-partition window computes both stats in that SAME exchange —
+    // the old groupBy(__band).agg + join-back shape cost one extra
+    // corpus-sized band-keyed exchange and reopened the static-estimate
+    // broadcast question for the stats join (which OOM'd a ×100 run
+    // before it was merge-hinted). A window has no join to mis-plan.
+    val wBand = Window.partitionBy(col("__band"))
+    val bandedS = banded
+      .withColumn("__cnt", count(lit(1)).over(wBand))
+      .withColumn("__bmin", min(col(orderKey)).over(wBand))
     val small = bandedS.filter(col("__cnt") <= maxBandBucket)
     val l = small.select(col("__band"), col(orderKey).as("i"), col("__sh").as("sh_i"))
     val r = small.select(col("__band"), col(orderKey).as("j"), col("__sh").as("sh_j"))
@@ -246,13 +246,12 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
         shiftright(col("__sig"), s * segBits)
           .bitwiseAND((1L << segWidth(s)) - 1))): _*))
     val banded = reps.withColumn("__seg", seg)
-    val stats = banded.groupBy("__seg")
-      .agg(count(lit(1)).as("__cnt"), min(col(orderKey)).as("__bmin"))
-    // Corpus-sized × corpus-sized joins: force spill-safe sort-merge so
-    // a small static estimate of the stats aggregate (or of reps) can
-    // never pick a corpus-sized broadcast — same hazard as the minhash
-    // band joins, where it OOM'd a ×100 run.
-    val bandedS = banded.join(stats.hint("merge"), Seq("__seg"))
+    // segment stats as window aggregates — same one-fewer-exchange /
+    // no-stats-join reasoning as MinHashDeduplicateFilter.duplicateIds
+    val wSeg = Window.partitionBy(col("__seg"))
+    val bandedS = banded
+      .withColumn("__cnt", count(lit(1)).over(wSeg))
+      .withColumn("__bmin", min(col(orderKey)).over(wSeg))
     val small = bandedS.filter(col("__cnt") <= maxBandBucket)
     val l = small.select(col(orderKey).as("i"), col("__sig").as("sig_i"), col("__seg"))
     val r = small.select(col(orderKey).as("j"), col("__sig").as("sig_j"), col("__seg"))

@@ -67,11 +67,17 @@ object CorpusEvaluators {
     val maxN = 4
     // one-pass imperative n-gram kernel: the equivalent expression tree
     // re-splits the text per n and string-builds every slice separately
-    // (4-5x slower at sf0.1)
+    // (4-5x slower at sf0.1). Grams leave the kernel as 60-bit md5
+    // prefixes, not strings: the two corpus-sized aggregates downstream
+    // then exchange 8 bytes per gram instead of an up-to-4-word string
+    // (~30 bytes), and the DuckDB oracle recomputes the identical hash.
+    // A collision merges two grams' tf counts IDENTICALLY on both sides
+    // (~n²/2⁶⁰ of the vocab affected — metric perturbation, never an
+    // oracle divergence).
     val gramsUdf = udf { ws: Seq[String] =>
-      if (ws == null) Array.empty[(Int, String)]
+      if (ws == null) Array.empty[(Int, Long)]
       else {
-        val out = Array.newBuilder[(Int, String)]
+        val out = Array.newBuilder[(Int, Long)]
         var k = 1
         while (k <= maxN) {
           var i = 0
@@ -79,7 +85,7 @@ object CorpusEvaluators {
             val sb = new StringBuilder
             var j = 0
             while (j < k) { if (j > 0) sb.append(' '); sb.append(ws(i + j)); j += 1 }
-            out += ((k, sb.toString)); i += 1
+            out += ((k, graft.functions.kernels.md5Prefix60(sb.toString))); i += 1
           }
           k += 1
         }

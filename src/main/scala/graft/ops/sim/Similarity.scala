@@ -83,10 +83,19 @@ object Similarity {
     *
     * Centroids come from MLlib KMeans over L2-normalized vectors (fixed
     * seed) — nearest-by-dot-product on normalized inputs orders the same
-    * as cosine, matching the exact cosine rank inside each list. */
+    * as cosine, matching the exact cosine rank inside each list.
+    *
+    * `exportDir`: when set, the trained centroids are written to
+    * `$exportDir/rows_<corpusCount>` as (list_id, center, sf_rows) —
+    * k-means training is not SQL-replayable, but given the centers the
+    * rest of the query (argmax-dot assignment, probing, exact in-list
+    * cosine rank) IS, so a DuckDB oracle can replay it bit for bit.
+    * Keyed by corpus row count so runs at different scale factors don't
+    * clobber each other's export. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, embKey: String,
       idKey: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L, maxTrain: Int = 100000): DataFrame = {
+      seed: Long = 42L, maxTrain: Int = 100000,
+      exportDir: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idKey).as("neighbor_id"),
@@ -109,14 +118,28 @@ object Similarity {
       .select(array_to_vector(unit(col("__ce"))).as("__nv"))
     val centers: Array[Array[Double]] =
       km.fit(trainDf).clusterCenters.map(_.toArray)
+    exportDir.foreach { base =>
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val nRows = c.count()
+      centers.zipWithIndex.toSeq
+        .map { case (ct, i) => (i, ct.toSeq, nRows) }
+        .toDF("list_id", "center", "sf_rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/rows_$nRows")
+    }
+    // Ranks raw (unnormalized) dots: normalizing the input vector scales
+    // every dot by the same positive 1/||v||, so its argsort over the
+    // centroids — hence the assigned list AND the probe set — is
+    // unchanged (zero vector: all dots 0 either way). Skipping the
+    // normalization saves a per-row pass and makes the oracle replay a
+    // plain dot-product fold.
     val nearestLists = udf { (v: Seq[Double], probes: Int) =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      val u = if (n == 0) v.toArray else v.map(_ / n).toArray
+      val arr = v.toArray
       centers.zipWithIndex.map { case (ct, i) =>
         var dot = 0.0
         var j = 0
-        val m = math.min(ct.length, u.length)
-        while (j < m) { dot += ct(j) * u(j); j += 1 }
+        val m = math.min(ct.length, arr.length)
+        while (j < m) { dot += ct(j) * arr(j); j += 1 }
         (dot, i)
       }.sortBy(-_._1).take(probes).map(_._2)
     }

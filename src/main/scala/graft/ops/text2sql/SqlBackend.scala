@@ -182,7 +182,6 @@ final case class SparkSessionBackend(maxDistinct: Int = 100000,
     val swept: Seq[(String, Option[Option[String]])] = stmts.map { q =>
       q -> SqlExecutor.foldedHash(spark, q, timeoutSec)
     }
-    val pool = SparkSessionBackend.pool(maxWorkers)
     val tasks = swept.collect { case (q, None) =>
       new java.util.concurrent.Callable[(String, Boolean, String)] {
         def call(): (String, Boolean, String) =
@@ -194,7 +193,13 @@ final case class SparkSessionBackend(maxDistinct: Int = 100000,
           }
       }
     }
-    val pooled = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    // per-call pool, shut down on exit: thread creation is noise next to
+    // statement execution, and a keyed-forever pool map would leak one
+    // executor per distinct maxWorkers for the JVM's lifetime
+    val pool = SparkSessionBackend.newPool(maxWorkers)
+    val pooled =
+      try pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      finally pool.shutdown()
     val verdicts = swept.collect {
       case (q, Some(Some(h))) => (q, true, h)
       case (q, Some(None))    => (q, false, null)
@@ -204,18 +209,14 @@ final case class SparkSessionBackend(maxDistinct: Int = 100000,
 }
 
 object SparkSessionBackend {
-  private val pools =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ExecutorService]()
-  private def pool(n: Int): java.util.concurrent.ExecutorService =
-    pools.computeIfAbsent(n, { k =>
-      java.util.concurrent.Executors.newFixedThreadPool(k,
-        new java.util.concurrent.ThreadFactory {
-          private val c = new java.util.concurrent.atomic.AtomicInteger()
-          def newThread(r: Runnable): Thread = {
-            val t = new Thread(r, s"graft-sqlexec-$k-${c.incrementAndGet()}")
-            t.setDaemon(true)
-            t
-          }
-        })
-    })
+  private def newPool(k: Int): java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(k,
+      new java.util.concurrent.ThreadFactory {
+        private val c = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-sqlexec-$k-${c.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 }

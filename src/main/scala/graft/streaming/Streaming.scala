@@ -47,15 +47,29 @@ object Streaming {
   private[graft] def tsEpochNanos(df: DataFrame, name: String = "ts"): Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType => col(name)
-      case _ => unix_micros(col(name).cast("timestamp")) * 1000L
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(name).cast("timestamp")) * 1000L
+      // fail fast: a silent cast would read e.g. IntegerType as epoch
+      // SECONDS and put every event in the wrong window
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$name` must be LongType (epoch nanos) or a " +
+          s"timestamp, got $other")
     }
 
   /** `ts` as an event-time TIMESTAMP column, same two generations. */
   private[graft] def tsAsTimestamp(df: DataFrame, name: String = "ts"): Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr(s"$name div 1000"))
-      case _ => col(name).cast("timestamp")
+        // backtick-quoted: `div` needs expr(), and a raw interpolation
+        // would mis-parse names with spaces/dots
+        timestamp_micros(expr(s"`${name.replace("`", "``")}` div 1000"))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        col(name).cast("timestamp")
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$name` must be LongType (epoch nanos) or a " +
+          s"timestamp, got $other")
     }
 
   /** Event-time tumbling-window aggregation over the events table.

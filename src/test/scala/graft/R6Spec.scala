@@ -83,7 +83,7 @@ class R6Spec extends AnyFunSuite {
     // On tiny test inputs Catalyst's static size estimates make EVERY
     // join broadcast-eligible — exactly the condition under which the
     // scale hazard hides. The merge hints must hold regardless: the
-    // band/bucket self-joins, the stats joins, and the sig-fetch joins
+    // band/bucket self-joins and the sig-fetch joins
     // pair corpus-sized sides (a ×100 run OOM'd broadcasting the minhash
     // stats aggregate, whose static estimate stays small at any scale).
     // The one legitimate broadcast candidate is the final left_anti
