@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 regressions: the replayable-hash idiom behind the cider-D
+  * gram keys, and the IVF centroid export that powers its value oracle. */
+class R7Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("md5Prefix60 equals the DuckDB replay form (first 15 md5 hex chars as BIGINT)") {
+    // the oracle recomputes the gram key as
+    // ('0x' || substr(md5(g), 1, 15))::BIGINT — the kernel's bit
+    // arithmetic must match that hex-parse definition exactly
+    val samples = Seq("", "a", "alpha beta", "four gram token run",
+      "naïve café 日本語", "", "x" * 500)
+    samples.foreach { s =>
+      val viaHex = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          s.getBytes("UTF-8")).substring(0, 15), 16)
+      assert(graft.functions.kernels.md5Prefix60(s) == viaHex, s"input: $s")
+    }
+  }
+
+  test("ivfTopK exportDir writes one centroid row per list, keyed by corpus count") {
+    val dim = 16
+    val rows = (0L until 300L).map { i =>
+      (i, (0 until dim).map(d => math.sin(i * dim + d)))
+    }.toDF("vec_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_test").toString
+    graft.ops.sim.Similarity.ivfTopK(rows, rows.filter(col("vec_id") < 3),
+      "embedding", "vec_id", k = 3, nLists = 8, nProbe = 2,
+      exportDir = Some(out)).count()
+    val exported = spark.read.parquet(s"$out/rows_300")
+    assert(exported.count() == 8)
+    assert(exported.columns.sorted.toSeq == Seq("center", "list_id", "sf_rows"))
+    assert(exported.select("sf_rows").distinct().as[Long].head() == 300L)
+    // centers carry the training dimensionality
+    assert(exported.select(size(col("center"))).distinct().as[Int].head() == dim)
+  }
+}
