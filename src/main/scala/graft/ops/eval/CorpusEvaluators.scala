@@ -85,7 +85,7 @@ object CorpusEvaluators {
             val sb = new StringBuilder
             var j = 0
             while (j < k) { if (j > 0) sb.append(' '); sb.append(ws(i + j)); j += 1 }
-            out += ((k, graft.functions.kernels.md5Prefix60(sb.toString))); i += 1
+            out += ((k, graft.functions.kernels.md5Prefix60Memo(sb.toString))); i += 1
           }
           k += 1
         }

@@ -20,6 +20,10 @@ class R7Spec extends AnyFunSuite {
         org.apache.commons.codec.digest.DigestUtils.md5Hex(
           s.getBytes("UTF-8")).substring(0, 15), 16)
       assert(graft.functions.kernels.md5Prefix60(s) == viaHex, s"input: $s")
+      // the memoized variant must be observably identical (first call
+      // populates, second call hits)
+      assert(graft.functions.kernels.md5Prefix60Memo(s) == viaHex)
+      assert(graft.functions.kernels.md5Prefix60Memo(s) == viaHex)
     }
   }
 
