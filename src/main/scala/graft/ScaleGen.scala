@@ -24,8 +24,20 @@ import org.apache.spark.sql.functions._
   * BIGINT — those scaled dirs were bench evidence only.) */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcDir> <dstDir> <N>")
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcDir> <dstDir> <N> [suffixWords]")
     val (src, dst, n) = (args(0), args(1), args(2).toInt)
+    // suffixWords (default 1 = the classic " #rN" token): number of
+    // replica-distinct filler words appended to each non-zero replica's
+    // text. 1 keeps replicas NEAR-duplicates of their base (Jaccard
+    // ~0.95 on a 50-word doc — every replica joins one big near-dup
+    // cluster). ~25 pushes replica-vs-replica Jaccard below the 0.9
+    // dedup threshold, so composing ScaleGen twice (e.g. ×100 then ×10
+    // with suffixWords=25) grows the CORPUS 10× while keeping the
+    // first-level cluster size — the realistic big-corpus shape, where
+    // a naive ×1000 would instead make every cluster 1000-way and the
+    // by-construction quadratic verify work would swamp the measurement.
+    val suffixWords = if (args.length == 4) args(3).toInt else 1
     // generation is write-heavy; default to all cores unless overridden
     val spark = LocalSpark.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
 
@@ -52,10 +64,14 @@ object ScaleGen {
     write(scale(read("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")).drop("__r"), "lineitem")
     write(scale(read("events"), Seq("event_id", "user_id")).drop("__r"), "events")
+    val replicaText =
+      if (suffixWords <= 1) concat(col("text"), lit(" #r"), col("__r"))
+      else concat(col("text"), lit(" "),
+        array_join(transform(sequence(lit(1), lit(suffixWords)),
+          i => concat(lit("r"), col("__r"), lit("w"), i)), " "))
     write(scale(read("documents"), Seq("doc_id"))
       .withColumn("text",
-        when(col("__r") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" #r"), col("__r"))))
+        when(col("__r") === 0, col("text")).otherwise(replicaText))
       .drop("__r"), "documents")
     write(scale(read("embeddings"), Seq("vec_id"))
       .withColumn("embedding",
