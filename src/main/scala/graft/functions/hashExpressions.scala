@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.SparkBridge
@@ -112,6 +112,87 @@ final case class CosineLshBuckets(vec: Expression, bits: Expression,
     copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
 }
 
+/** pair_ngram_tf(predWords, refWords, maxN) — GENERATOR: one
+  * (n, gram, tf_p, tf_r) row per DISTINCT word n-gram (n = 1..maxN) of a
+  * (prediction, reference) pair, gram = [[kernels.md5Prefix60]] of the
+  * space-joined gram, tf_* = that side's term frequency.
+  *
+  * Two costs of the udf → transform(struct) → explode → groupBy form
+  * this replaces vanish:
+  *  - the md5 runs directly over the words' UTF-8 bytes (UTF-8 of a
+  *    space-join IS the byte concatenation with 0x20 separators), so no
+  *    gram String / tuple / gram array is ever materialized — that
+  *    SerDe/boxing plumbing measured ~11.5 µs of CPU per gram row at
+  *    ×100 sf0.1 while the md5 itself prices at ~0.2 µs;
+  *  - both sides count into ONE per-pair hash map, so the generator
+  *    emits final per-pair tf rows and the corpus-sized
+  *    groupBy(id, n, gram) exchange + 90M-group hash aggregate that
+  *    used to merge the exploded stream disappears from the plan.
+  *
+  * Contract: the caller owns one generator row per scoring unit (the
+  * reference metric scores each sample independently) — emitted rows
+  * are final tf vectors for THAT row, never merged across rows.
+  * Oracle form unchanged: `('0x' || substr(md5(g), 1, 15))::BIGINT`. */
+final case class PairNgramTfGen(pred: Expression, ref: Expression, maxN: Int)
+    extends Expression with Generator with CodegenFallback {
+  require(maxN >= 1 && maxN <= 4, s"maxN must be in 1..4, got $maxN")
+  override def prettyName: String = "pair_ngram_tf"
+  override def children: Seq[Expression] = Seq(pred, ref)
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashExprChecks.check(prettyName,
+      Seq(ArrayType(StringType), ArrayType(StringType)),
+      children.map(_.dataType))
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("gram", LongType, nullable = false),
+    StructField("tf_p", LongType, nullable = false),
+    StructField("tf_r", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    // composite key: (n-1) in bits 60-61 above the 60-bit gram hash —
+    // stays positive in a signed long for n <= 4
+    val counts = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+    def side(e: Expression, idx: Int): Unit = {
+      val arr = e.eval(input).asInstanceOf[ArrayData]
+      if (arr != null) {
+        val nw = arr.numElements()
+        val words = new Array[Array[Byte]](nw)
+        var i = 0
+        while (i < nw) { words(i) = arr.getUTF8String(i).getBytes; i += 1 }
+        var k = 1
+        while (k <= maxN) {
+          var s = 0
+          while (s <= nw - k) {
+            val key = java.lang.Long.valueOf(
+              ((k - 1).toLong << 60) | kernels.md5Prefix60Gram(words, s, k))
+            var c = counts.get(key)
+            if (c == null) { c = new Array[Long](2); counts.put(key, c) }
+            c(idx) += 1L
+            s += 1
+          }
+          k += 1
+        }
+      }
+    }
+    side(pred, 0)
+    side(ref, 1)
+    val rows = new Array[InternalRow](counts.size)
+    val it = counts.entrySet().iterator()
+    var r = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val key = e.getKey.longValue()
+      rows(r) = new GenericInternalRow(Array[Any](
+        (key >>> 60).toInt + 1, key & ((1L << 60) - 1),
+        e.getValue()(0), e.getValue()(1)))
+      r += 1
+    }
+    rows
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(pred = newChildren(0), ref = newChildren(1))
+}
+
 /** Column builders for the hash expressions (the operators call these;
   * SQL callers go through [[graft.GraftExtensions]]). */
 object hashExpressions {
@@ -126,4 +207,11 @@ object hashExpressions {
     SparkBridge.toColumn(CosineLshBuckets(
       SparkBridge.toExpression(vec.cast("array<double>")),
       Literal(bits), Literal(dim), Literal(tables)))
+
+  /** Generator column: select alongside other columns to get `n`,
+    * `gram`, `tf_p`, `tf_r` output columns (Catalyst plans a Generate
+    * node from it). */
+  def pairNgramTf(predWords: Column, refWords: Column, maxN: Int): Column =
+    SparkBridge.toColumn(PairNgramTfGen(SparkBridge.toExpression(predWords),
+      SparkBridge.toExpression(refWords), maxN))
 }

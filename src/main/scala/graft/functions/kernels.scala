@@ -38,6 +38,27 @@ object kernels {
     h >>> 4
   }
 
+  /** [[md5Prefix60]] of the space-joined k-gram `words(start..start+k)`,
+    * computed directly over the words' UTF-8 byte arrays: UTF-8 encoding
+    * distributes over concatenation and ' ' is the single byte 0x20, so
+    * feeding word bytes and separators to the digest is byte-identical
+    * to hashing the joined String — without building it. */
+  def md5Prefix60Gram(words: Array[Array[Byte]], start: Int, k: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    var j = 0
+    while (j < k) {
+      if (j > 0) md.update(' '.toByte)
+      md.update(words(start + j))
+      j += 1
+    }
+    val d = md.digest()
+    var h = 0L
+    var bi = 0
+    while (bi < 8) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
+    h >>> 4
+  }
+
   private val gramMemo =
     ThreadLocal.withInitial[java.util.HashMap[String, java.lang.Long]](() =>
       new java.util.HashMap[String, java.lang.Long](1 << 12))

@@ -65,51 +65,44 @@ object CorpusEvaluators {
       sigma: Double = 6.0): DataFrame = {
     val nDocs = pairs.count().toDouble
     val maxN = 4
-    // one-pass imperative n-gram kernel: the equivalent expression tree
-    // re-splits the text per n and string-builds every slice separately
-    // (4-5x slower at sf0.1). Grams leave the kernel as 60-bit md5
-    // prefixes, not strings: the two corpus-sized aggregates downstream
-    // then exchange 8 bytes per gram instead of an up-to-4-word string
-    // (~30 bytes), and the DuckDB oracle recomputes the identical hash.
-    // A collision merges two grams' tf counts IDENTICALLY on both sides
-    // (~n²/2⁶⁰ of the vocab affected — metric perturbation, never an
-    // oracle divergence).
-    val gramsUdf = udf { ws: Seq[String] =>
-      if (ws == null) Array.empty[(Int, Long)]
-      else {
-        val out = Array.newBuilder[(Int, Long)]
-        var k = 1
-        while (k <= maxN) {
-          var i = 0
-          while (i <= ws.length - k) {
-            val sb = new StringBuilder
-            var j = 0
-            while (j < k) { if (j > 0) sb.append(' '); sb.append(ws(i + j)); j += 1 }
-            out += ((k, graft.functions.kernels.md5Prefix60Memo(sb.toString))); i += 1
-          }
-          k += 1
-        }
-        out.result()
-      }
-    }
-    def gramStructs(c: Column): Column =
-      transform(gramsUdf(words(c)),
-        g => struct(g("_1").as("n"), g("_2").as("gram")))
-    val tagged = pairs.select(col(idKey), lit("p").as("side"),
-      explode(gramStructs(col(predKey))).as("ng"))
-      .unionAll(pairs.select(col(idKey), lit("r").as("side"),
-        explode(gramStructs(col(refKey))).as("ng")))
-      .select(col(idKey), col("side"), col("ng.n").as("n"), col("ng.gram").as("gram"))
-    val tf = tagged.groupBy(idKey, "n", "gram").agg(
-      sum(when(col("side") === "p", 1).otherwise(0)).as("tf_p"),
-      sum(when(col("side") === "r", 1).otherwise(0)).as("tf_r"))
+    // Both sides' per-pair tf vectors stream out of ONE native Generator
+    // ([[graft.functions.PairNgramTfGen]]): grams are 60-bit md5
+    // prefixes, not strings (8-byte exchange keys; the DuckDB oracle
+    // recomputes the identical hash — a collision merges two grams' tf
+    // counts IDENTICALLY on both sides, ~n²/2⁶⁰ of the vocab affected:
+    // metric perturbation, never an oracle divergence), and because each
+    // pairs row is its own scoring unit the generator's output IS the
+    // final per-(id, n, gram) tf table — the exploded ~2.3x-wider tagged
+    // stream of earlier forms never enters the plan.
+    //
+    // The rows still pass through a groupBy(id, n, gram) sum: on unique
+    // ids it is an identity merge, but (a) it keeps the operator correct
+    // when a caller feeds several rows per id, and (b) its exchange is
+    // the plan's materialization point — ReuseExchange serves the
+    // shuffle to BOTH consumers below (the df aggregate and the join's
+    // left side), where a bare Generate re-ran the gram hashing per
+    // consumer (+14% wall at ×100) and a columnar persist of the tf
+    // table measured ~2x slower than this exchange.
+    val tf = pairs.select(col(idKey),
+      graft.functions.hashExpressions.pairNgramTf(
+        words(col(predKey)), words(col(refKey)), maxN))
+      .groupBy(idKey, "n", "gram").agg(
+        sum(col("tf_p")).as("tf_p"), sum(col("tf_r")).as("tf_r"))
     // merge hint: unlike the unigram variant's vocab-bounded idf, the
     // distinct 3/4-gram table grows with the corpus, and an aggregate's
     // narrow STATIC size estimate picks a broadcast before AQE ever sees
     // the real size (the mechanism that OOM'd the minhash ×100 run) — a
     // corpus-sized broadcast would kill the driver at scale.
+    //
+    // dfreq >= 2: ln(greatest(1, df)) is 0 for df in {0, 1}, so a gram
+    // whose df row is absent from the left join scores IDENTICALLY to a
+    // singleton — dropping the singleton tail (which IS the corpus-sized
+    // part of a zipf gram table: most distinct 3/4-grams occur in exactly
+    // one document) from the join's right side is an exact rewrite that
+    // leaves only the shared-gram head to sort and exchange.
     val dfq = tf.filter(col("tf_r") > 0)
       .groupBy("n", "gram").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") >= 2)
     val w = tf.join(dfq.hint("merge"), Seq("n", "gram"), "left")
       .withColumn("idfw",
         lit(math.log(nDocs)) - log(greatest(lit(1.0), coalesce(col("dfreq"), lit(0.0)))))

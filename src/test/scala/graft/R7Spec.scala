@@ -27,6 +27,41 @@ class R7Spec extends AnyFunSuite {
     }
   }
 
+  test("PairNgramTfGen matches a per-gram md5Prefix60 count done the slow way") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      ("a b c a b", "b c d"),
+      ("naïve café 日本語 naïve café", "naïve café"),
+      ("solo", ""),
+      ("x x x x x", "x x"),
+      (null, "only ref side"),
+      ("only pred side", null)
+    ).toDF("pred", "gold").withColumn("id", monotonically_increasing_id())
+    val got = docs.select(col("id"), graft.functions.hashExpressions.pairNgramTf(
+        graft.functions.text.words(col("pred")),
+        graft.functions.text.words(col("gold")), 4))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1), r.getLong(2)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    // slow-way expectation: String-joined grams through md5Prefix60
+    def grams(s: String): Seq[(Int, Long)] =
+      if (s == null) Nil
+      else {
+        val ws = graft.functions.kernels.splitWords(s)
+        for (k <- 1 to 4; i <- 0 to ws.length - k)
+          yield (k, graft.functions.kernels.md5Prefix60(ws.slice(i, i + k).mkString(" ")))
+      }
+    val expected = docs.select("id", "pred", "gold").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val p = grams(r.getString(1)).groupBy(identity).view.mapValues(_.size.toLong)
+      val g = grams(r.getString(2)).groupBy(identity).view.mapValues(_.size.toLong)
+      (p.keySet ++ g.keySet).map { case key @ (n, h) =>
+        ((id, n, h), (p.getOrElse(key, 0L), g.getOrElse(key, 0L)))
+      }
+    }.toMap
+    assert(got == expected)
+  }
+
   test("ivfTopK exportDir writes one centroid row per list, keyed by corpus count") {
     val dim = 16
     val rows = (0L until 300L).map { i =>
