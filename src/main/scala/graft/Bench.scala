@@ -68,9 +68,13 @@ object Bench {
           // — bounded at 2 extra passes — so a transient spike has to
           // recur to survive into the artifact. Sub-100ms queries are
           // skipped: their ratio is scheduler jitter, and the noise
-          // aggregate already excludes them.
+          // aggregate already excludes them. Warmup-less modes
+          // (passes < 3) are also skipped: without a discarded warmup
+          // the first measured pass carries plan compilation/codegen,
+          // so a >1.3x gap there is expected, not co-load — and those
+          // modes promise an exact pass count to their caller.
           var retried = 0
-          while (times.size >= 2 && times.min >= 0.1 &&
+          while (warmups > 0 && times.size >= 2 && times.min >= 0.1 &&
                  spreadOf(times.toSeq) > 1.3 && retried < 2) {
             if (isolate) { spark.catalog.clearCache(); System.gc() }
             times += onePass()
