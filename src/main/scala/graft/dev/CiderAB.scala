@@ -3,8 +3,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interleaved A/B of cider-D forms in ONE JVM (machine drift kills
-  * cross-JVM comparisons). A = committed old udf+explode+groupBy+full-dfq
-  * replica; B = current CorpusEvaluators.ciderD. */
+  * cross-JVM comparisons). A = the r7 mid-round form (native generator,
+  * separate dfq aggregate + singleton-tail filter + merge join back);
+  * B = current CorpusEvaluators.ciderD (dfreq as a window aggregate). */
 object CiderAB {
   def main(args: Array[String]): Unit = {
     val spark = graft.LocalSpark.session("32")
@@ -13,39 +14,17 @@ object CiderAB {
     def pairs = d.select(col("doc_id"), col("text").as("pred"))
       .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("gold")), Seq("doc_id"))
     val maxN = 4
-    val gramsUdf = udf { ws: Seq[String] =>
-      if (ws == null) Array.empty[(Int, Long)]
-      else {
-        val out = Array.newBuilder[(Int, Long)]
-        var k = 1
-        while (k <= maxN) {
-          var i = 0
-          while (i <= ws.length - k) {
-            val sb = new StringBuilder
-            var j = 0
-            while (j < k) { if (j > 0) sb.append(' '); sb.append(ws(i + j)); j += 1 }
-            out += ((k, graft.functions.kernels.md5Prefix60Memo(sb.toString))); i += 1
-          }
-          k += 1
-        }
-        out.result()
-      }
-    }
-    def gramStructs(c: Column): Column =
-      transform(gramsUdf(graft.functions.text.words(c)),
-        g => struct(g("_1").as("n"), g("_2").as("gram")))
     def oldCiderD(p: DataFrame): DataFrame = {
       val nDocs = p.count().toDouble
-      val tagged = p.select(col("doc_id"), lit("p").as("side"),
-        explode(gramStructs(col("pred"))).as("ng"))
-        .unionAll(p.select(col("doc_id"), lit("r").as("side"),
-          explode(gramStructs(col("gold"))).as("ng")))
-        .select(col("doc_id"), col("side"), col("ng.n").as("n"), col("ng.gram").as("gram"))
-      val tf = tagged.groupBy("doc_id", "n", "gram").agg(
-        sum(when(col("side") === "p", 1).otherwise(0)).as("tf_p"),
-        sum(when(col("side") === "r", 1).otherwise(0)).as("tf_r"))
+      val tf = p.select(col("doc_id"),
+        graft.functions.hashExpressions.pairNgramTf(
+          graft.functions.text.words(col("pred")),
+          graft.functions.text.words(col("gold")), maxN))
+        .groupBy("doc_id", "n", "gram").agg(
+          sum(col("tf_p")).as("tf_p"), sum(col("tf_r")).as("tf_r"))
       val dfq = tf.filter(col("tf_r") > 0)
         .groupBy("n", "gram").agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq") >= 2)
       val w = tf.join(dfq.hint("merge"), Seq("n", "gram"), "left")
         .withColumn("idfw",
           lit(math.log(nDocs)) - log(greatest(lit(1.0), coalesce(col("dfreq"), lit(0.0)))))
@@ -66,6 +45,25 @@ object CiderAB {
             .otherwise(col("dot") / (col("np") * col("nr"))) * penalty)
       valN.groupBy("doc_id")
         .agg(round(sum(col("val")) / maxN * 10.0, 6).as("cider_d"))
+    }
+    // `--explain`: print both physical plans (for exchange counting).
+    if (args.contains("--explain")) {
+      println("===== A (dfq join-back) ====="); oldCiderD(pairs).explain("formatted")
+      println("===== B (window dfreq) =====")
+      graft.ops.eval.CorpusEvaluators.ciderD(pairs, "pred", "gold", "doc_id").explain("formatted")
+      spark.stop(); return
+    }
+    // `--check`: row-compare the two forms instead of timing (run at a
+    // small SF) — the window dfreq must be value-identical to the
+    // join-back dfreq.
+    if (args.contains("--check")) {
+      val a = oldCiderD(pairs)
+      val b = graft.ops.eval.CorpusEvaluators.ciderD(pairs, "pred", "gold", "doc_id")
+      val onlyA = a.exceptAll(b).count()
+      val onlyB = b.exceptAll(a).count()
+      println(s"check rows=${a.count()} onlyA=$onlyA onlyB=$onlyB " +
+        (if (onlyA == 0 && onlyB == 0) "IDENTICAL" else "DIVERGED"))
+      spark.stop(); return
     }
     def quiesce(): Unit = { spark.catalog.clearCache(); System.gc() }
     def one(f: => DataFrame): Double = {

@@ -1,6 +1,7 @@
 package graft.ops.eval
 
 import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.text._
 
@@ -56,9 +57,9 @@ object CorpusEvaluators {
     * reference's `length` accumulates term frequencies at n==1, i.e.
     * bigrams), mean over the four n, ×10.
     *
-    * Same distributed shape as [[ciderUnigram]]: one tagged
-    * explode+aggregate for both tf vectors at every n, a vocab-bounded
-    * broadcast of the df table, re-aggregation per (id, n) then per id —
+    * Distributed shape: one native generator pass for both tf vectors at
+    * every n, document frequency as a window aggregate inside the
+    * (n, gram) exchange, re-aggregation per (id, n) then per id —
     * corpus size never touches the driver. */
   def ciderD(pairs: DataFrame, predKey: String, refKey: String,
       idKey: String, outputKey: String = "cider_d",
@@ -88,24 +89,22 @@ object CorpusEvaluators {
         words(col(predKey)), words(col(refKey)), maxN))
       .groupBy(idKey, "n", "gram").agg(
         sum(col("tf_p")).as("tf_p"), sum(col("tf_r")).as("tf_r"))
-    // merge hint: unlike the unigram variant's vocab-bounded idf, the
-    // distinct 3/4-gram table grows with the corpus, and an aggregate's
-    // narrow STATIC size estimate picks a broadcast before AQE ever sees
-    // the real size (the mechanism that OOM'd the minhash ×100 run) — a
-    // corpus-sized broadcast would kill the driver at scale.
-    //
-    // dfreq >= 2: ln(greatest(1, df)) is 0 for df in {0, 1}, so a gram
-    // whose df row is absent from the left join scores IDENTICALLY to a
-    // singleton — dropping the singleton tail (which IS the corpus-sized
-    // part of a zipf gram table: most distinct 3/4-grams occur in exactly
-    // one document) from the join's right side is an exact rewrite that
-    // leaves only the shared-gram head to sort and exchange.
-    val dfq = tf.filter(col("tf_r") > 0)
-      .groupBy("n", "gram").agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") >= 2)
-    val w = tf.join(dfq.hint("merge"), Seq("n", "gram"), "left")
+    // Document frequency as a window aggregate in the SAME (n, gram)
+    // hashpartitioning the idf weighting consumes — the minhash band
+    // rework's trick. The earlier shape (separate `groupBy(n, gram)`
+    // dfreq aggregate merge-joined back onto tf) paid one extra
+    // corpus-sized (n, gram) exchange and kept alive the static-estimate
+    // broadcast hazard on the stats join (an aggregate's narrow static
+    // size estimate picks a broadcast before AQE ever sees the real
+    // size — the mechanism that OOM'd the minhash ×100 run); the window
+    // computes dfreq inside the one exchange and there is no stats join
+    // left to mis-plan. ~1.2× faster at ×100 (see BASELINE.md) and two
+    // fewer corpus-sized Exchanges in the plan.
+    val w = tf
+      .withColumn("dfreq", sum(when(col("tf_r") > 0, 1L).otherwise(0L))
+        .over(Window.partitionBy("n", "gram")))
       .withColumn("idfw",
-        lit(math.log(nDocs)) - log(greatest(lit(1.0), coalesce(col("dfreq"), lit(0.0)))))
+        lit(math.log(nDocs)) - log(greatest(lit(1.0), col("dfreq").cast("double"))))
       .withColumn("wp", col("tf_p") * col("idfw"))
       .withColumn("wr", col("tf_r") * col("idfw"))
     val perN = w.groupBy(idKey, "n").agg(
