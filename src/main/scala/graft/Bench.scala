@@ -13,8 +13,30 @@ object Bench {
     * measured passes this is the same max/min ratio rounds ≤6 reported;
     * with retries it deliberately ignores a transient co-load spike
     * that a later pass disproved.) A query that throws (any pass) is
-    * recorded as an error, never silently timed. */
-  final case class Result(seconds: Double, spread: Double, error: Option[String], retried: Int = 0)
+    * recorded as an error, never silently timed.
+    *
+    * `cpuRatio` = this JVM's process-CPU seconds consumed during the
+    * reported pass / its wall seconds — the co-load attribution signal
+    * (round 7's artifact could flag itself untrendable but not say
+    * WHICH numbers to disbelieve). On an otherwise-idle machine a
+    * parallel query runs ≫ 1 (up to the core count) and even a
+    * scheduler-bound one sits near 1; wall time stolen by an external
+    * process is time this JVM is descheduled, so cpu accrues but wall
+    * keeps running and the ratio drops. A query whose wall is inflated
+    * vs its standalone number while its cpuRatio fell proportionally is
+    * externally stolen time, not code. */
+  final case class Result(seconds: Double, spread: Double, error: Option[String],
+      retried: Int = 0, cpuRatio: Double = -1.0)
+
+  /** Process-CPU clock (ns across all JVM threads, GC included); -1 when
+    * the platform bean doesn't expose it (never on HotSpot). */
+  private val osBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+  private def processCpuNanos(): Long =
+    osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
   /** Measure each query.
     *
@@ -43,17 +65,26 @@ object Bench {
             spark.catalog.clearCache()
             System.gc()
           }
-          val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-          def onePass(): Double = {
+          // (wall seconds, cpu/wall ratio) per measured pass
+          val measuredPasses =
+            scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+          def times = measuredPasses.map(_._1)
+          def onePass(): (Double, Double) = {
+            val c0 = processCpuNanos()
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
+            val wall = (System.nanoTime() - t0) / 1e9
+            val c1 = processCpuNanos()
+            val ratio =
+              if (c0 >= 0 && c1 >= 0 && wall > 0) (c1 - c0) / 1e9 / wall
+              else -1.0
+            (wall, ratio)
           }
           var p = 0
           val warmups = if (passes >= 3) 1 else 0
           while (p < passes) {
             val s = onePass()
-            if (p >= warmups) times += s
+            if (p >= warmups) measuredPasses += s
             p += 1
           }
           // spread over the two best passes; 1.0 with a single pass
@@ -77,10 +108,13 @@ object Bench {
           while (warmups > 0 && times.size >= 2 && times.min >= 0.1 &&
                  spreadOf(times.toSeq) > 1.3 && retried < 2) {
             if (isolate) { spark.catalog.clearCache(); System.gc() }
-            times += onePass()
+            measuredPasses += onePass()
             retried += 1
           }
-          Result(times.min, spreadOf(times.toSeq), None, retried)
+          // the cpu ratio reported is the one of the pass whose wall is
+          // reported — attribution must describe the recorded number
+          val best = measuredPasses.minBy(_._1)
+          Result(best._1, spreadOf(times.toSeq), None, retried, best._2)
         } catch {
           case e: Throwable =>
             Result(-1.0, 1.0, Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}"))
@@ -114,9 +148,11 @@ object Bench {
       case None        => SparkEntry.queries.toSeq
     }
     val measured = runQueries(spark, sfDir, selected, passes, isolate)
-    val results = measured.collect { case (n, Result(s, _, None, _)) => n -> s }.toMap
-    val spreads = measured.collect { case (n, Result(_, sp, None, _)) => n -> sp }
-    val errors = measured.collect { case (n, Result(_, _, Some(e), _)) => n -> e }
+    val results = measured.collect { case (n, Result(s, _, None, _, _)) => n -> s }.toMap
+    val spreads = measured.collect { case (n, Result(_, sp, None, _, _)) => n -> sp }
+    val errors = measured.collect { case (n, Result(_, _, Some(e), _, _)) => n -> e }
+    val cpuRatios = measured.collect {
+      case (n, Result(_, _, None, _, cr)) if cr >= 0 => n -> cr }.toMap
 
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only the last ~2000 chars of output, so the
@@ -125,7 +161,15 @@ object Bench {
     // JSON line to the headline subset.
     val qsAll = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"all_queries","queries":$qsAll}""")
+    // cpu_ratio rides the same line (it describes the same reported
+    // passes) as a sibling key, so bench_compare's `queries` parse is
+    // untouched: process-cpu/wall of each query's reported pass —
+    // co-load steals wall but not this JVM's cpu, so an inflated query
+    // whose ratio dropped proportionally is machine-readably stolen
+    // time, not code (see Result.cpuRatio).
+    val crAll = cpuRatios.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"all_queries","queries":$qsAll,"cpu_ratio":$crAll}""")
     // In-run noise estimate from each query's two BEST measured passes
     // (same plan, same data, back-to-back): the median and p90 of that
     // per-query ratio certify a single run's self-consistency without

@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // this run feeds the DuckDB oracle, which replays sim_ivf_topk from
+    // the exported centroids — so the export must happen HERE (and only
+    // here: bench passes skip it, see SparkEntry.ivfExportDir)
+    sys.props("graft.ivf.export") = "true"
     val spark = LocalSpark.session()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

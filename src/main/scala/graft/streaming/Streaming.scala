@@ -99,15 +99,24 @@ object Streaming {
         sum(col("value").cast("decimal(20,2)")).as("sum_value"))
   }
 
-  /** Session-ish stateful dedup across chunks: streaming dropDuplicates
-    * with watermark — the reference's cross-chunk `seen_hashes` set made
-    * fault-tolerant (its set survives only within one process run). */
+  /** Session-ish stateful dedup across chunks — the reference's
+    * cross-chunk `seen_hashes` set made fault-tolerant (its set survives
+    * only within one process run; this one survives restarts via the
+    * checkpoint). State is bounded WITHIN THE WATERMARK HORIZON:
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time, so the store holds only the keys
+    * seen in the trailing `watermark` window — the first occurrence
+    * within that horizon wins, exactly the semantics of a seen-set with
+    * a retention TTL. A plain `dropDuplicates("__h")` here would be a
+    * scale trap: with the event-time column absent from the dedup key,
+    * Spark ignores the watermark for state eviction and the store grows
+    * with every distinct hash forever. */
   def streamingDedup(stream: DataFrame, hashCol: Column,
       watermark: String = "1 hour"): DataFrame = {
     stream.withColumn("__ts", tsAsTimestamp(stream))
       .withColumn("__h", hashCol)
       .withWatermark("__ts", watermark)
-      .dropDuplicates("__h")
+      .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 regressions: the bench's per-query cpu/wall attribution
+  * signal, and the verify-only gating of the IVF centroid export. */
+class R8Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("bench cpuRatio separates stolen wall time from burned cpu") {
+    // A query whose wall is mostly time this JVM does NOT run (sleep =
+    // the exact shape of externally-stolen time: wall advances, process
+    // cpu doesn't) must report cpu/wall well under 1; a query that
+    // burns cores must report well over 1. This is the machine-readable
+    // signal the recorded artifact lacked for three rounds: an inflated
+    // wall with a proportionally fallen cpuRatio is co-load, not code.
+    val sleeper = (s: SparkSession, _: String) => {
+      Thread.sleep(1000); s.range(1).toDF()
+    }
+    val spinner = (s: SparkSession, _: String) => {
+      val threads = (1 to 8).map { _ =>
+        new Thread(() => {
+          val deadline = System.nanoTime() + 400L * 1000 * 1000
+          var x = 0L
+          while (System.nanoTime() < deadline) { x += 1 }
+          if (x == -1) println(x) // defeat dead-code elimination
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      s.range(1).toDF()
+    }
+    val out = Bench.runQueries(spark, sf,
+      Seq("sleepy" -> sleeper, "spinny" -> spinner),
+      passes = 3, isolate = false).toMap
+    val slept = out("sleepy")
+    val spun = out("spinny")
+    assert(slept.error.isEmpty && spun.error.isEmpty)
+    assert(slept.cpuRatio >= 0 && spun.cpuRatio >= 0, "cpu clock unavailable")
+    // 1 s asleep + a trivial count: background JVM threads (JIT, GC,
+    // Spark housekeeping) accrue some cpu, but well under wall — while
+    // genuinely-working queries on this 32-way box run far above it.
+    // The relative contrast is the pinned contract; the absolute bound
+    // is deliberately generous to background-compile churn.
+    assert(slept.cpuRatio < 1.0, s"sleeper cpuRatio=${slept.cpuRatio}")
+    // 8 spinning threads: ≈8 cpu-seconds per wall-second
+    assert(spun.cpuRatio > 2.0, s"spinner cpuRatio=${spun.cpuRatio}")
+    assert(spun.cpuRatio > 3 * slept.cpuRatio,
+      s"no contrast: spun=${spun.cpuRatio} slept=${slept.cpuRatio}")
+  }
+
+  test("IVF centroid export happens only under the verify flag") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nRows = emb.count()
+    val exportPath = java.nio.file.Paths.get(
+      s"/tmp/graft_ivf_centroids/rows_$nRows")
+    def deleteExport(): Unit = if (java.nio.file.Files.exists(exportPath)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(exportPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+    val run = () => SparkEntry.queries("sim_ivf_topk")(spark, sf).count()
+    val prev = sys.props.remove("graft.ivf.export")
+    try {
+      deleteExport()
+      run() // bench shape: no flag → no export write inside the query
+      assert(!java.nio.file.Files.exists(exportPath),
+        "bench pass wrote the centroid export")
+      sys.props("graft.ivf.export") = "true"
+      run() // verify shape: flag set → oracle input materialized
+      assert(java.nio.file.Files.exists(exportPath),
+        "verify pass did not write the centroid export")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.ivf.export") = v.toString
+        case None    => sys.props.remove("graft.ivf.export")
+      }
+    }
+  }
+}

@@ -194,6 +194,63 @@ class TiersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup state is bounded by the watermark horizon") {
+    import spark.implicits._
+    // Three micro-batches (maxFilesPerTrigger=1), each with 50 FRESH
+    // distinct keys, event times 1 hour apart under a 10-minute
+    // watermark: by the time batch k processes, the watermark has passed
+    // batch k-1's event times, so its keys' state must be EVICTED. With
+    // the unbounded form (dropDuplicates on the hash alone) state grows
+    // monotonically with every distinct key ever seen — exactly the
+    // defect this pins: numRowsTotal at the last batch would be ~150.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdb")
+    val keysPerBatch = 50
+    def batch(i: Int) = (0 until keysPerBatch).map { j =>
+      (i.toLong * keysPerBatch + j,
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+          .plusSeconds(i * 3600L)))
+    }.toDF("k", "ts")
+    // write batch files up front as PLAIN files (the stream source lists
+    // files, not write-output directories); AvailableNow +
+    // maxFilesPerTrigger=1 replays them as ordered micro-batches
+    (0 to 2).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_sdb_w$i")
+      batch(i).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      val it = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+      val f = it.find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Files.copy(f, dir.resolve(f"b$i%02d.parquet"))
+      // the file source replays oldest-mtime-first: pin strictly
+      // increasing mtimes so batch order (hence watermark advance) is
+      // deterministic, not copy-timing-dependent
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(batch(0).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val deduped = Streaming.streamingDedup(stream, col("k").cast("string"),
+      watermark = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_bounded")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      // every key is distinct → all 150 rows pass through
+      assert(spark.table("dedup_bounded").count() == 3L * keysPerBatch)
+      val stateTotals = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal))
+        .filter(_ > 0)
+      assert(stateTotals.nonEmpty)
+      // bounded: the store never holds all three batches' keys at once
+      assert(stateTotals.max < 3L * keysPerBatch,
+        s"state grew unbounded: $stateTotals")
+      // and eviction actually happened: the final state is one horizon's
+      // worth of keys, not an accumulation
+      assert(stateTotals.last <= 2L * keysPerBatch,
+        s"no eviction observed: $stateTotals")
+    } finally q.stop()
+  }
+
   test("multimodal decode stub yields bounded dims") {
     import spark.implicits._
     val docs = Storage.table(spark, sf, "documents")

@@ -1,29 +1,50 @@
 #!/usr/bin/env python3
 """Compare two graft.Bench outputs (the all_queries JSON line).
 
-Usage: bench_compare.py A.json B.json [ratio_flag_threshold]
+Usage: bench_compare.py [--force] A.json B.json [ratio_flag_threshold]
 
 Prints totals, total delta, and every query whose B/A ratio exceeds the
 threshold (default 1.3), sorted by ratio. Used for: run-to-run agreement
 checks, GC AB tests, in-session vs standalone validation, and scale runs
 (where A = sf0.1 and B = x10, so ratios ~10 are expected and the
 threshold argument should be e.g. 15 to flag super-linear queries).
+
+An input whose total line carries "untrendable":true (the bench's own
+noise flag: post-retry pass-noise p90 > 1.2) is REFUSED — comparing a
+co-loaded run defeats the flag's whole purpose. --force overrides, with
+a loud annotation.
 """
 import json
 import sys
 
 
 def load(path):
+    queries, untrendable = None, False
     with open(path) as f:
         for line in f:
             if '"metric":"all_queries"' in line:
-                return json.loads(line)["queries"]
-    raise SystemExit(f"no all_queries line in {path}")
+                queries = json.loads(line)["queries"]
+            if '"metric":"total"' in line:
+                untrendable = bool(json.loads(line).get("untrendable"))
+    if queries is None:
+        raise SystemExit(f"no all_queries line in {path}")
+    return queries, untrendable
 
 
 def main():
-    a, b = load(sys.argv[1]), load(sys.argv[2])
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    force = "--force" in sys.argv
+    argv = [a for a in sys.argv if a != "--force"]
+    (a, ua), (b, ub) = load(argv[1]), load(argv[2])
+    flagged_inputs = [p for p, u in ((argv[1], ua), (argv[2], ub)) if u]
+    if flagged_inputs:
+        msg = (f"untrendable input(s) {flagged_inputs}: the bench flagged "
+               f"these runs as noise-dominated (pass-noise p90 > 1.2 after "
+               f"retries) — per-query ratios would compare co-load, not code")
+        if not force:
+            raise SystemExit(f"REFUSED: {msg}. Re-run on a quiet machine or "
+                             f"pass --force to compare anyway.")
+        print(f"WARNING (--force): {msg}")
+    thr = float(argv[3]) if len(argv) > 3 else 1.3
     shared = sorted(set(a) & set(b))
     if not shared:
         raise SystemExit("no shared queries between the two inputs")
