@@ -16,6 +16,17 @@ import graft.functions.text._
   * HashingTF vector (feature-collision-lossy), so decisions are
   * approximate rather than exactly verifiable — good for throughput
   * comparisons, not for oracle-gated correctness.
+  *
+  * Scale hardening: `approxSimilarityJoin` has no defense against
+  * exact-duplicate clusters — m copies of one doc share every MinHash
+  * bucket, so the candidate explode emits O(m²) pairs per cluster (the
+  * same 100 TB skew killer the custom path collapses away). The same
+  * identical-set collapse is prepended HERE, on the distinct-gram set:
+  * docs with equal gram SETS have equal binary HashingTF vectors, hence
+  * Jaccard distance 0 ≤ any threshold, so under keep-first semantics
+  * dropping everything but the min-orderKey representative per set is
+  * exactly what the join would decide — only O(m) window work instead
+  * of O(m²) pairs, and only representatives enter the LSH join.
   */
 final case class MinHashLSHDeduplicateFilter(inputKey: String = "text",
     orderKey: String = "doc_id", ngram: Int = 3, numHashTables: Int = 4,
@@ -39,28 +50,43 @@ final case class MinHashLSHDeduplicateFilter(inputKey: String = "text",
     val withGrams = df
       .select(col(orderKey), gramsUdf(col(inputKey)).as("__grams"))
       .filter(size(col("__grams")) > 0)
-    val tf = new HashingTF().setInputCol("__grams").setOutputCol("__features")
-      .setNumFeatures(numFeatures).setBinary(true)
-    // approxSimilarityJoin consumes `featured` three times (fit + both join
-    // sides); uncached, every pass re-runs gram splitting + feature
-    // hashing over the whole corpus — the dominant cost. Persist the
-    // featurized table, materialize the (small) duplicate-id set eagerly,
-    // then release the cache.
-    val featured = tf.transform(withGrams)
-      .select(col(orderKey), col("__features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
-        .setNumHashTables(numHashTables).setSeed(42L)
-      val model = lsh.fit(featured)
-      val pairs = model.approxSimilarityJoin(featured, featured,
-        1.0 - threshold, "jaccard_dist")
-      val dups = pairs
-        .select(col(s"datasetA.$orderKey").as("i"), col(s"datasetB.$orderKey").as("j"))
-        .where(col("i") < col("j"))
-        .select(col("j").as(orderKey)).distinct()
-        .localCheckpoint() // eager: one id column, bounded by corpus rows
-      df.join(dups, Seq(orderKey), "left_anti")
-    } finally featured.unpersist(false)
+      // Identical-set collapse (see scaladoc): binary HashingTF ignores
+      // gram multiplicity, so the canonical key is the sorted DISTINCT
+      // gram set — the exact equivalence class of "equal feature vector"
+      // (modulo feature collisions, which only ever merge MORE docs into
+      // a class the join would also have scored at distance 0).
+      val wIdent = org.apache.spark.sql.expressions.Window
+        .partitionBy(array_sort(array_distinct(col("__grams"))))
+        .orderBy(col(orderKey))
+      val ranked = withGrams.withColumn("__rn", row_number().over(wIdent))
+      val identDups = ranked.filter(col("__rn") > 1).select(col(orderKey))
+      val reps = ranked.filter(col("__rn") === 1).drop("__rn")
+      val tf = new HashingTF().setInputCol("__grams").setOutputCol("__features")
+        .setNumFeatures(numFeatures).setBinary(true)
+      // approxSimilarityJoin consumes `featured` three times (fit + both
+      // join sides); uncached, every pass re-runs gram splitting + feature
+      // hashing over the whole corpus — the dominant cost. Persist the
+      // featurized table, materialize the (small) duplicate-id set
+      // eagerly, then release the cache.
+      val featured = tf.transform(reps)
+        .select(col(orderKey), col("__features"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
+          .setNumHashTables(numHashTables).setSeed(42L)
+        val model = lsh.fit(featured)
+        val pairs = model.approxSimilarityJoin(featured, featured,
+          1.0 - threshold, "jaccard_dist")
+        val dups = pairs
+          .select(col(s"datasetA.$orderKey").as("i"), col(s"datasetB.$orderKey").as("j"))
+          .where(col("i") < col("j"))
+          .select(col("j").as(orderKey))
+          .union(identDups).distinct()
+          .localCheckpoint() // eager: one id column, bounded by corpus rows
+        df.join(dups, Seq(orderKey), "left_anti")
+      } finally featured.unpersist(false)
+    } finally withGrams.unpersist(false)
   }
 }

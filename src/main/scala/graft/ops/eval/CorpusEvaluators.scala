@@ -78,12 +78,16 @@ object CorpusEvaluators {
     //
     // The rows still pass through a groupBy(id, n, gram) sum: on unique
     // ids it is an identity merge, but (a) it keeps the operator correct
-    // when a caller feeds several rows per id, and (b) its exchange is
-    // the plan's materialization point — ReuseExchange serves the
-    // shuffle to BOTH consumers below (the df aggregate and the join's
-    // left side), where a bare Generate re-ran the gram hashing per
-    // consumer (+14% wall at ×100) and a columnar persist of the tf
-    // table measured ~2x slower than this exchange.
+    // when a caller feeds several rows per id, and (b) its
+    // (id, n, gram)-keyed exchange spreads zipf-head grams across
+    // partitions (id varies), so the corpus-sized aggregate runs
+    // BALANCED before anything is keyed by gram alone. A round-8 A/B
+    // tried collapsing this exchange into the window's (CiderAB formC:
+    // repartition(n, gram) up front, one corpus exchange total — legal
+    // because HashPartitioning(n, gram) satisfies the aggregate's
+    // (id, n, gram) clustering): one exchange FEWER, but 61.8 s → 81.8 s
+    // at ×100, because every corpus pass then runs in gram-skewed
+    // partitions. The balanced extra exchange is the cheaper shape.
     val tf = pairs.select(col(idKey),
       graft.functions.hashExpressions.pairNgramTf(
         words(col(predKey)), words(col(refKey)), maxN))
@@ -100,6 +104,20 @@ object CorpusEvaluators {
     // computes dfreq inside the one exchange and there is no stats join
     // left to mis-plan. ~1.2× faster at ×100 (see BASELINE.md) and two
     // fewer corpus-sized Exchanges in the plan.
+    //
+    // KNOWN CLUSTER-SCALE HAZARD (accepted, measured): WindowExec
+    // buffers each (n, gram) group in full before emitting, and a
+    // zipf-head unigram's group is corpus-sized — one task's
+    // spill-backed buffer that AQE skew handling cannot split. The
+    // skew-free alternative (dfreq as a partial aggregate merge-joined
+    // back, which STREAMS the skewed side) is exactly the pre-r7 shape;
+    // round-8's interleaved ×100 A/B re-measured it plus two
+    // single-exchange variants (CiderAB formC/formD: 79.2/78.2 s vs
+    // 61.8 s for this form), so the hazard is documented rather than
+    // traded for a measured 1.27× local regression. If a real-cluster
+    // run ever stalls on a head-gram window task, flip to the formD
+    // join-back shape in CiderAB — it buffers nothing group-sized, and
+    // row-identity at sf0.01 is pinned by `CiderAB --check`.
     val w = tf
       .withColumn("dfreq", sum(when(col("tf_r") > 0, 1L).otherwise(0L))
         .over(Window.partitionBy("n", "gram")))
