@@ -89,8 +89,10 @@ final case class NgramHashDeduplicateFilter(inputKey: String = "text",
 final case class MinHashDeduplicateFilter(inputKey: String = "text",
     orderKey: String = "doc_id", ngram: Int = 3, numPerm: Int = 128,
     bands: Int = 32, threshold: Double = 0.9,
-    maxBandBucket: Int = 1024) extends Op {
+    maxBandBucket: Int = 1024,
+    scratchBudgetBytes: Long = 24L << 30) extends Op {
   require(numPerm % bands == 0, "bands must divide numPerm")
+  require(scratchBudgetBytes > 0, "scratchBudgetBytes must be positive")
   val name = "minhash_deduplicate_filter"
   val inputKeys = Seq(inputKey, orderKey)
   val outputKeys = Nil
@@ -128,10 +130,37 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     val withSh = shingled(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dups = duplicateIds(withSh)
-        .localCheckpoint() // eager: one id column — lets apply() unpersist
+      val groups = bandGroupCount(withSh)
+      val dups = (
+        if (groups <= 1) duplicateIds(withSh)
+        else groupedDuplicateIds(withSh, groups)
+      ).localCheckpoint() // eager: one id column — lets apply() unpersist
       df.join(dups, Seq(orderKey), "left_anti")
     } finally withSh.unpersist(false)
+  }
+
+  /** How many sequential band waves to split the LSH pass into, from the
+    * measured shingle volume. The band exchange replicates each doc's
+    * shingle array once per band, so its scratch footprint is ~bands ×
+    * corpus-shingle bytes — LINEAR in corpus size but with a ×32
+    * constant: a 5M-doc ×1000 probe needed ~105 GB of shuffle scratch
+    * and died on a 70 GB-free disk while the same plan at ×100 (a tenth
+    * the corpus) ran fine. Splitting the band set into waves divides the
+    * PEAK footprint by the wave count at unchanged total bytes: every
+    * band bucket lives wholly inside one wave, so the union of the
+    * waves' verified pairs is EXACTLY the single-pass candidate set
+    * (grouping is a partition of bands, not an approximation).
+    * One small agg over the already-persisted shingle table; corpora
+    * under the budget keep the single-job plan bit for bit. */
+  private[graft] def bandGroupCount(withSh: DataFrame): Int = {
+    val row = withSh.agg(
+      sum(size(col("__sh"))).cast("long"), count(lit(1))).first()
+    val shEntries = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val rows = row.getLong(1)
+    // 8 B per shingle hash + ~48 B/row of band key, id, and row headers
+    val bandedBytes = (shEntries * 8L + rows * 48L) * bands
+    val g = ((bandedBytes + scratchBudgetBytes - 1) / scratchBudgetBytes).toInt
+    math.max(1, math.min(bands, g))
   }
 
   /** (orderKey, sorted distinct shingle hashes) per row. */
@@ -142,35 +171,48 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     * split from apply() so plan lints can inspect the exchanges before
     * the eager checkpoint erases them. */
   private[graft] def duplicateIds(withSh: DataFrame): DataFrame = {
-    // Skew phase: collapse IDENTICAL shingle sets first. Exact-duplicate
-    // clusters (m copies of one doc) share every band, so the band
-    // self-join would emit O(m²) candidate pairs per cluster — the 100 TB
-    // skew killer. Identical sets have J=1 ≥ any threshold, and because
-    // identical docs are interchangeable, keeping only the min-orderKey
-    // representative per set is EXACT under keep-first semantics: any
-    // doc the oracle would drop via a collapsed member is also dropped
-    // via that member's (earlier) representative. Empty shingle sets
-    // produce no bands (never candidates) and are left alone.
+    val (identDups, reps) = collapseIdentical(withSh)
+    val banded = reps.withColumn("__band", explode(bandKeys(col("__sh"))))
+      .select(col(orderKey), col("__sh"), col("__band"))
+    identDups.union(bandVerifyDups(banded)).distinct()
+  }
+
+  /** Skew phase: collapse IDENTICAL shingle sets first. Exact-duplicate
+    * clusters (m copies of one doc) share every band, so the band
+    * self-join would emit O(m²) candidate pairs per cluster — the 100 TB
+    * skew killer. Identical sets have J=1 ≥ any threshold, and because
+    * identical docs are interchangeable, keeping only the min-orderKey
+    * representative per set is EXACT under keep-first semantics: any
+    * doc the oracle would drop via a collapsed member is also dropped
+    * via that member's (earlier) representative. Empty shingle sets
+    * produce no bands (never candidates) and are left alone.
+    * Returns (dropped ids, surviving representatives). */
+  private def collapseIdentical(withSh: DataFrame): (DataFrame, DataFrame) = {
     val nonEmpty = withSh.filter(size(col("__sh")) > 0)
     val wIdent = Window.partitionBy(col("__sh")).orderBy(col(orderKey))
     val ranked = nonEmpty.withColumn("__rn", row_number().over(wIdent))
     val identDups = ranked.filter(col("__rn") > 1).select(col(orderKey))
     val reps = ranked.filter(col("__rn") === 1).drop("__rn")
-    // Banding carries the shingle array through the band shuffle (one
-    // replica per band — LINEAR in corpus size) so the exact verify runs
-    // INSIDE the band self-join, same score-before-shuffle shape as
-    // SemDeduplicateFilter: only surviving duplicate ids (one long each)
-    // ever reach an exchange. The alternative — distinct the candidate
-    // PAIRS first, then join the arrays back per pair — verifies each
-    // pair once instead of once per shared band, but its array-fetch
-    // joins shuffle (pairs × both arrays), which is QUADRATIC in
-    // near-dup-cluster size: a ×100 scale run (100-way near-dup
-    // clusters) ran that shape out of heap. Re-walking a pair that
-    // shares several bands costs ≤ bands cheap merge-walks and is
-    // embarrassingly parallel; the per-pair j's collapse map-side in
-    // the final distinct.
-    val banded = reps.withColumn("__band", explode(bandKeys(col("__sh"))))
-      .select(col(orderKey), col("__sh"), col("__band"))
+    (identDups, reps)
+  }
+
+  /** LSH verify over a banded table (orderKey, __sh, __band): the ids of
+    * rows similar to an earlier row in a shared band bucket.
+    *
+    * Banding carries the shingle array through the band shuffle (one
+    * replica per band — LINEAR in corpus size) so the exact verify runs
+    * INSIDE the band self-join, same score-before-shuffle shape as
+    * SemDeduplicateFilter: only surviving duplicate ids (one long each)
+    * ever reach an exchange. The alternative — distinct the candidate
+    * PAIRS first, then join the arrays back per pair — verifies each
+    * pair once instead of once per shared band, but its array-fetch
+    * joins shuffle (pairs × both arrays), which is QUADRATIC in
+    * near-dup-cluster size: a ×100 scale run (100-way near-dup
+    * clusters) ran that shape out of heap. Re-walking a pair that
+    * shares several bands costs ≤ bands cheap merge-walks and is
+    * embarrassingly parallel; the per-pair j's collapse map-side in
+    * the final distinct. */
+  private def bandVerifyDups(banded: DataFrame): DataFrame = {
     // Residual near-identical (but not identical) clusters can still
     // produce hot buckets: cap them. Buckets ≤ maxBandBucket pair
     // all-vs-all (exact); larger buckets pair members against the bucket
@@ -203,7 +245,44 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       .join(minArr.hint("merge"), Seq("__band"))
       .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
       .select(col("j").as(orderKey))
-    identDups.union(dupsSmall).union(dupsBig).distinct()
+    dupsSmall.union(dupsBig)
+  }
+
+  /** Bounded-scratch variant of [[duplicateIds]]: the 128-perm signature
+    * is computed ONCE into a per-doc band-key array, then the band set is
+    * processed in `groups` sequential waves, each wave's surviving dup
+    * ids eagerly materialized (localCheckpoint) so the previous wave's
+    * shuffle files can be reclaimed before the next wave shuffles. Peak
+    * scratch ≈ single-pass footprint / groups; the result is EXACTLY the
+    * single-pass result (bands partition into waves; every band bucket —
+    * hence every candidate pair — lives wholly inside one wave). */
+  private[graft] def groupedDuplicateIds(withSh: DataFrame,
+      groups: Int): DataFrame = {
+    val (identDups, reps) = collapseIdentical(withSh)
+    val repsB = reps.withColumn("__bands", bandKeys(col("__sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val per = bands / groups
+      val extra = bands % groups
+      // wave g covers [start, start+len) of the band-key array
+      val ranges = (0 until groups).scanLeft((0, 0)) { case ((s, l), g) =>
+        (s + l, per + (if (g < extra) 1 else 0))
+      }.tail
+      val waves = ranges.map { case (start, len) =>
+        // slice() is 1-based
+        val banded = repsB.withColumn("__band",
+          explode(slice(col("__bands"), start + 1, len)))
+          .select(col(orderKey), col("__sh"), col("__band"))
+        val ids = bandVerifyDups(banded).localCheckpoint() // eager
+        // drop the wave's now-unreferenced shuffle dependencies promptly:
+        // ContextCleaner reclaims shuffle files on weak-ref GC, and the
+        // whole point of waves is that wave g's scratch is gone before
+        // wave g+1 writes its own
+        System.gc()
+        ids
+      }
+      (identDups.localCheckpoint() +: waves).reduce(_ union _).distinct()
+    } finally repsB.unpersist(false)
   }
 }
 

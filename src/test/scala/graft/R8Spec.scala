@@ -95,4 +95,60 @@ class R8Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("minhash band waves reproduce the single-pass result exactly") {
+    // The ×1000 probe killed the single-pass minhash on shuffle scratch
+    // (the band exchange replicates each shingle array ×32 — ~105 GB for
+    // a 5M-doc corpus). The wave path must be a pure partition of the
+    // band set: same drops, bit for bit, on a corpus that exercises all
+    // three phases (exact clones → collapse, near-dup cluster → band
+    // verify, capped hot buckets → min-representative path).
+    import spark.implicits._
+    import graft.ops.dedup.MinHashDeduplicateFilter
+    val base = (0 until 80).map(t => s"tok$t")
+    val nearDups = (0L until 60L).map { i =>
+      (i, base.zipWithIndex.collect {
+        case (w, p) if p != (i % 80).toInt => w }.mkString(" "))
+    }
+    val clones = (100L until 140L).map(i => (i, "the same exact text" * 5))
+    val uniques = (200L until 260L).map(i =>
+      (i, s"unique document $i about ${i * 31} and ${i * 7}"))
+    val df = (nearDups ++ clones ++ uniques).toDF("doc_id", "text")
+    val op = MinHashDeduplicateFilter("text", "doc_id", threshold = 0.9,
+      maxBandBucket = 16) // force the big-bucket path into the waves too
+    val withSh = op.shingled(df).persist()
+    try {
+      val single = op.duplicateIds(withSh)
+        .as[Long].collect().toSet
+      for (groups <- Seq(2, 5, 32)) { // uneven split, one-band waves
+        val waved = op.groupedDuplicateIds(withSh, groups)
+          .as[Long].collect().toSet
+        assert(waved == single, s"groups=$groups diverged: " +
+          s"only-waved=${(waved -- single).take(5)} " +
+          s"only-single=${(single -- waved).take(5)}")
+      }
+    } finally withSh.unpersist()
+  }
+
+  test("band wave count scales with measured shingle volume") {
+    import spark.implicits._
+    import graft.ops.dedup.MinHashDeduplicateFilter
+    val docs = (0L until 50L).map(i =>
+      (i, s"document $i with some words ${i * 3} ${i * 7} ${i * 11}"))
+      .toDF("doc_id", "text")
+    val roomy = MinHashDeduplicateFilter("text", "doc_id")
+    val withSh = roomy.shingled(docs)
+    // default budget (24 GiB) on a 50-doc corpus: single-pass plan
+    assert(roomy.bandGroupCount(withSh) == 1)
+    // a budget smaller than one band's bytes clamps at the band count
+    val tight = roomy.copy(scratchBudgetBytes = 1L)
+    assert(tight.bandGroupCount(withSh) == roomy.bands)
+    // empty corpus: no NPE from the null sum, single pass
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(roomy.bandGroupCount(roomy.shingled(empty)) == 1)
+    // end-to-end through apply(): a tight budget must not change results
+    val defaultKept = roomy(docs).select("doc_id").as[Long].collect().toSet
+    val wavedKept = tight(docs).select("doc_id").as[Long].collect().toSet
+    assert(wavedKept == defaultKept)
+  }
 }
