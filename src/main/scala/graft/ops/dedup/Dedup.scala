@@ -259,8 +259,13 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
   private[graft] def groupedDuplicateIds(withSh: DataFrame,
       groups: Int): DataFrame = {
     val (identDups, reps) = collapseIdentical(withSh)
+    // DISK_ONLY, deliberately: this cache exists only when the corpus
+    // already blew the scratch budget, i.e. it is far bigger than the
+    // heap — a MEMORY_AND_DISK unroll of corpus-sized columnar blocks
+    // across 32 tasks GC-thrashed an 8 GiB ×1000 run to death before
+    // the first wave even shuffled, while straight-to-disk streams
     val repsB = reps.withColumn("__bands", bandKeys(col("__sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       val per = bands / groups
       val extra = bands % groups
@@ -358,43 +363,83 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
   * matrix, drop later row of any pair with cos ≥ 1-eps).
   *
   * Default mode "lsh" is the 100 TB path: multi-table random-hyperplane
-  * buckets generate candidate pairs (shuffle ∝ candidates, not n²), then
-  * the EXACT cosine verifies each pair — recall < 1 by construction
-  * (pairs whose vectors land in different buckets in every table are
-  * missed; with 8 bits × 4 tables at cos ≥ 0.95 recall ≈ 0.89). Mode
-  * "exact" reproduces the reference's full pairwise matrix — O(n²), only
-  * for small-n verification runs, never at scale. */
+  * buckets generate candidates (work ∝ candidates, not n²), then the
+  * EXACT cosine verifies — recall < 1 by construction (pairs whose
+  * vectors land in different buckets in every table are missed; with
+  * 8 bits × 4 tables at cos ≥ 0.95 recall ≈ 0.89). Mode "exact"
+  * reproduces the reference's full pairwise matrix — O(n²), only for
+  * small-n verification runs, never at scale.
+  *
+  * The LSH verify is a streaming per-bucket walk (one exchange + sort
+  * by (bucket, orderKey), then a bounded-memory pass), not a bucket
+  * self-join: dedup only needs ONE earlier witness per dropped row, so
+  * the walk early-exits on the first hit — a bucket of m mutual
+  * duplicates costs ~m cosines instead of the join's C(m,2). A ×1000
+  * probe (2M vectors whose duplicate clusters the bucket join scored
+  * all-pairs) ran the join form in 862 s; the witness walk removes the
+  * by-construction quadratic verify while producing the identical drop
+  * set (every pair the join would test is tested unless a dup is
+  * already proven). Witness checks per row are capped at the first
+  * `maxBucket` bucket members — exact for buckets ≤ maxBucket; larger
+  * buckets check later members against that prefix pool only, a
+  * documented approximation (superset of the keep set; same class as
+  * MinHashDeduplicateFilter's maxBandBucket, strictly better recall
+  * than its min-only star since the pool holds 4096 earlier members,
+  * not one). */
 final case class SemDeduplicateFilter(embKey: String = "embedding",
     orderKey: String = "vec_id", eps: Double = 0.05, mode: String = "lsh",
-    bits: Int = 8, tables: Int = 4, dim: Int = 64) extends Op {
+    bits: Int = 8, tables: Int = 4, dim: Int = 64,
+    maxBucket: Int = 4096) extends Op {
   require(mode == "lsh" || mode == "exact", s"mode $mode")
+  require(maxBucket > 0, "maxBucket must be positive")
   val name = "sem_deduplicate_filter"
   val inputKeys = Seq(embKey, orderKey)
   val outputKeys = Nil
   def apply(df: DataFrame): DataFrame = {
     val v = df.select(col(orderKey), col(embKey).cast("array<double>").as("__v"))
-    val cos = Dedup.cosine(col("vi"), col("vj"))
     val dups =
       if (mode == "exact") {
+        val cos = Dedup.cosine(col("vi"), col("vj"))
         val l = v.select(col(orderKey).as("i"), col("__v").as("vi"))
         val r = v.select(col(orderKey).as("j"), col("__v").as("vj"))
         l.crossJoin(r).where(col("i") < col("j")).where(cos >= 1.0 - eps)
           .select(col("j").as(orderKey)).distinct()
       } else {
+        // One hash exchange on the bucket key + in-partition sort groups
+        // each bucket's members in orderKey order; the walk then streams
+        // rows, keeping a pool of the bucket's first maxBucket vectors.
+        // A row similar to ANY pool member is a dup (dropped rows stay
+        // in the pool: the reference drops the later row of every
+        // similar pair, so an already-dropped row still witnesses).
+        // The cosine is the same strict left fold as the codegen'd
+        // CosineSimilarity expression — decisions are bit-identical to
+        // the SQL oracle's replay.
         val bucketed = v.withColumn("__bucket", explode(
           graft.ops.sim.CosineLsh.buckets(col("__v"), bits, dim, tables)))
-        val l = bucketed.select(col(orderKey).as("i"), col("__v").as("vi"), col("__bucket"))
-        val r = bucketed.select(col(orderKey).as("j"), col("__v").as("vj"), col("__bucket"))
-        // exact-verify INSIDE the bucket join, before any exchange: only
-        // the surviving duplicate ids (one long each) reach the distinct
-        // shuffle — never candidate rows dragging two embedding arrays.
-        // A pair colliding in several tables re-scores (64 FLOPs) and
-        // then dedups by id, which the final distinct() already does.
-        // merge hint: both sides are corpus-sized and carry the vector —
-        // a static-estimate broadcast here would ship the whole corpus
-        l.join(r.hint("merge"), Seq("__bucket")).where(col("i") < col("j"))
-          .where(cos >= 1.0 - eps)
-          .select(col("j").as(orderKey)).distinct()
+          .select(col("__bucket"), col(orderKey), col("__v"))
+        val parted = bucketed.repartition(col("__bucket"))
+          .sortWithinPartitions(col("__bucket"), col(orderKey))
+        val outSchema = org.apache.spark.sql.types.StructType(
+          Seq(parted.schema(orderKey)))
+        val (mb, th) = (maxBucket, 1.0 - eps)
+        import org.apache.spark.sql.{Encoders, Row}
+        parted.mapPartitions { it =>
+          val pool = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+          var cur: String = null
+          it.flatMap { row =>
+            val b = row.getString(0)
+            if (b != cur) { cur = b; pool.clear() }
+            val vec = row.getSeq[Double](2).toArray
+            var dup = false
+            var k = 0
+            while (!dup && k < pool.length) {
+              if (Dedup.cosineFold(pool(k), vec) >= th) dup = true
+              k += 1
+            }
+            if (pool.length < mb) pool += vec
+            if (dup) Iterator.single(Row(row.get(1))) else Iterator.empty
+          }
+        }(Encoders.row(outSchema)).distinct()
       }
     // see SimHashDeduplicateFilter: id-side shuffle_hash, never broadcast
     df.join(dups.hint("shuffle_hash"), Seq(orderKey), "left_anti")
@@ -500,6 +545,20 @@ object Dedup {
     * are bit-reproducible against SQL oracles that fold the same way. */
   def cosine(a: Column, b: Column): Column =
     graft.functions.expressions.cosineSim(a, b)
+
+  /** The same strict left fold as [[graft.functions.CosineSimilarity]]
+    * (single loop accumulating dot and both norms, then one divide) over
+    * plain arrays — for imperative kernels whose decisions must be
+    * bit-identical to the expression's and to the SQL oracle's. */
+  def cosineFold(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = a(i); val yi = b(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
 
   private[dedup] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

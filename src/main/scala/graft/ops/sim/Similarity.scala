@@ -154,26 +154,42 @@ object Similarity {
   }
 
   /** Cosine-similarity join: all pairs (a, b) with cos ≥ threshold, via
-    * multi-table LSH buckets (candidates only, then exact check). */
+    * multi-table LSH buckets (candidates only, then exact check).
+    *
+    * Emit-once: each side carries its full bucket-key array (tables ×
+    * ~12 B — noise next to the vector) and a pair survives only in its
+    * FIRST shared bucket in table order, so every qualifying pair leaves
+    * the join exactly once and no pair-dedup exchange exists at all.
+    * The output of this operator IS the pair set — by-construction
+    * quadratic in duplicate-cluster size — and the old
+    * `dropDuplicates(a, b)` shuffled up to tables× that output (pairs
+    * colliding in several tables reach the exchange once per table,
+    * in different partitions, so map-side dedup cannot collapse them):
+    * a ×1000 probe (2M vectors, ~10⁹ qualifying pairs) died writing
+    * ~4×-output shuffle scratch. With emit-once the pairs stream
+    * straight from the join. */
   def similarityJoin(df: DataFrame, embKey: String, idKey: String,
       threshold: Double, bits: Int = 8, dim: Int = 64,
       tables: Int = 4): DataFrame = {
     val v = df.select(col(idKey), col(embKey).cast("array<double>").as("__v"))
-      .withColumn("__bucket", explode(CosineLsh.buckets(col("__v"), bits, dim, tables)))
-    val l = v.select(col(idKey).as("a"), col("__v").as("va"), col("__bucket"))
-    val r = v.select(col(idKey).as("b"), col("__v").as("vb"), col("__bucket"))
-    // exact-verify BEFORE the pair-dedup: filtering at the threshold and
-    // projecting to (a, b, cos) first means the distinct shuffle carries
-    // only surviving ~24-byte rows, not every candidate with two 1 KB
-    // vectors attached; duplicate-table collisions re-score (64 FLOPs)
-    // instead of re-shuffling
+      .withColumn("__bkts", CosineLsh.buckets(col("__v"), bits, dim, tables))
+      .withColumn("__bucket", explode(col("__bkts")))
+    val l = v.select(col(idKey).as("a"), col("__v").as("va"),
+      col("__bkts").as("__ba"), col("__bucket"))
+    val r = v.select(col(idKey).as("b"), col("__v").as("vb"),
+      col("__bkts").as("__bb"), col("__bucket"))
+    // first-shared-bucket check BEFORE the cosine: a 4-element array
+    // intersect is cheaper than the 64-dim dot it skips on the other
+    // tables' copies of a multi-collision pair.
     // merge hint: both sides are corpus-sized and carry the vector — a
     // small static size estimate must never pick a corpus broadcast
     l.join(r.hint("merge"), Seq("__bucket")).where(col("a") < col("b"))
+      .where(element_at(
+        filter(col("__ba"), x => array_contains(col("__bb"), x)), 1)
+        === col("__bucket"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
-      .dropDuplicates("a", "b")
   }
 }
 

@@ -151,4 +151,91 @@ class R8Spec extends AnyFunSuite {
     val wavedKept = tight(docs).select("doc_id").as[Long].collect().toSet
     assert(wavedKept == defaultKept)
   }
+
+  /** Deterministic embedding corpus with planted duplicate clusters:
+    * `clusters` groups of `size` near-identical vectors plus `loose`
+    * unrelated ones. */
+  private def plantedEmbeddings(clusters: Int, size: Int,
+      loose: Int): Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until clusters).map(_ => Array.fill(64)(rnd.nextGaussian()))
+    val members = for {
+      c <- 0 until clusters; m <- 0 until size
+    } yield ((c * size + m).toLong,
+      bases(c).map(_ + rnd.nextGaussian() * 0.001).toSeq)
+    val singles = (0 until loose).map(i =>
+      ((100000 + i).toLong, Array.fill(64)(rnd.nextGaussian()).toSeq))
+    members ++ singles
+  }
+
+  test("sem dedup witness walk matches an independent LSH+cosine replay") {
+    // The ×1000 probe ran the bucket self-join form of dedup_sem_lsh in
+    // 862 s — all-pairs verify inside 1000-member duplicate buckets. The
+    // streaming witness walk must reproduce the join form's drop set
+    // exactly: candidates = any shared bucket, drop j iff some earlier
+    // same-bucket i has cos ≥ 1-eps (dropped rows still witness).
+    import spark.implicits._
+    import graft.ops.dedup.SemDeduplicateFilter
+    val rows = plantedEmbeddings(clusters = 5, size = 12, loose = 40)
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = SemDeduplicateFilter("embedding", "vec_id", eps = 0.05)(df)
+      .select("vec_id").as[Long].collect().toSet
+    // independent replay: same bucket expression, collected and walked
+    // with plain Scala set logic and the same strict-fold cosine
+    val bucketsOf = df
+      .select(col("vec_id"), graft.ops.sim.CosineLsh.buckets(
+        col("embedding").cast("array<double>"), 8, 64, 4).as("b"))
+      .as[(Long, Seq[String])].collect().toMap
+    val vecOf = rows.toMap.view.mapValues(_.toArray).toMap
+    val ids = rows.map(_._1).sorted
+    val dropped = ids.filter { j =>
+      ids.exists(i => i < j &&
+        bucketsOf(i).exists(bucketsOf(j).contains) &&
+        graft.ops.dedup.Dedup.cosineFold(vecOf(i), vecOf(j)) >= 0.95)
+    }.toSet
+    assert(kept == ids.toSet -- dropped,
+      s"extra-kept=${(kept -- (ids.toSet -- dropped)).take(5)} " +
+        s"missing=${((ids.toSet -- dropped) -- kept).take(5)}")
+  }
+
+  test("sem dedup pool cap degrades to a keep-superset, never false drops") {
+    import spark.implicits._
+    import graft.ops.dedup.SemDeduplicateFilter
+    val df = plantedEmbeddings(clusters = 2, size = 30, loose = 10)
+      .toDF("vec_id", "embedding")
+    val exactKept = SemDeduplicateFilter("embedding", "vec_id")(df)
+      .select("vec_id").as[Long].collect().toSet
+    // cap of 3: later cluster members only see the first 3 as witnesses —
+    // here every member matches the cluster's first vector, so the drop
+    // set is unchanged; in general the capped keep set can only GROW
+    val capped = SemDeduplicateFilter("embedding", "vec_id", maxBucket = 3)(df)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exactKept.subsetOf(capped))
+    assert(capped == exactKept) // cluster-of-near-identicals: same set
+  }
+
+  test("similarity join emits each qualifying pair exactly once") {
+    import spark.implicits._
+    // near-identical vectors collide in ALL four tables — under the old
+    // dropDuplicates form each pair reached the pair exchange four times
+    // (~4× the output shuffled, which killed a ×1000 probe on scratch);
+    // emit-once keeps a pair only in its first shared bucket, so the raw
+    // output must already be duplicate-free
+    val df = plantedEmbeddings(clusters = 3, size = 8, loose = 20)
+      .toDF("vec_id", "embedding")
+    val pairs = graft.ops.sim.Similarity
+      .similarityJoin(df, "embedding", "vec_id", threshold = 0.95)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.length == pairs.toSet.size,
+      s"duplicate pairs in raw output: ${pairs.length} rows, " +
+        s"${pairs.toSet.size} distinct")
+    // and the pair SET is the full planted set within each cluster
+    val expected = (for {
+      c <- 0 until 3; i <- 0 until 8; j <- i + 1 until 8
+    } yield ((c * 8 + i).toLong, (c * 8 + j).toLong)).toSet
+    assert(pairs.toSet == expected,
+      s"missing=${(expected -- pairs.toSet).take(5)} " +
+        s"extra=${(pairs.toSet -- expected).take(5)}")
+  }
 }
