@@ -1234,6 +1234,56 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Streaming.windowedEventStats(t(s, dir, "events"), widthSec = 300)
+    },
+    // streamingDedup (dropDuplicatesWithinWatermark) as an oracled query:
+    // the events table is split into 3 time tiers replayed as ordered
+    // micro-batches (pinned ascending mtimes, maxFilesPerTrigger=1), and
+    // the dedup key is TIER-scoped (tier:user_id), so every key's
+    // duplicates live inside one micro-batch — the kept-row SET is then
+    // exactly DISTINCT (tier, user_id) regardless of intra-batch row
+    // order, i.e. deterministic and SQL-replayable, while the query still
+    // exercises the real streaming machinery end-to-end: file-source
+    // batch ordering, watermark advance across a 10-day tier gap ≫ the
+    // 10-minute delay (so earlier tiers' state is evicted — TiersSpec
+    // pins the numRowsTotal bound), and no late-row loss (tiers ascend in
+    // event time, so no batch ever starts below the watermark).
+    "stream_dedup_horizon" -> oracled(
+      """WITH b AS (SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi FROM events)
+        |SELECT DISTINCT CAST(least(((epoch_ns(ts) - lo) * 3) // (hi - lo + 1), 2) AS BIGINT) AS tier,
+        |  user_id
+        |FROM events, b""".stripMargin) { (s, dir) =>
+      val events = t(s, dir, "events")
+      val ns = Streaming.tsEpochNanos(events)
+      val bounds = events.agg(min(ns), max(ns)).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      // integer `div` throughout: epoch nanos exceed 2^53, and tier
+      // boundaries must match the oracle's BIGINT arithmetic bit for bit
+      val tiered = events.withColumn("__ns", ns).withColumn("tier",
+        expr(s"least((__ns - ${lo}L) * 3 div ${hi - lo + 1}L, 2L)")).drop("__ns")
+      val dirP = java.nio.file.Files.createTempDirectory("graft_sdh")
+      (0 to 2).foreach { i =>
+        val w = java.nio.file.Files.createTempDirectory(s"graft_sdh_w$i")
+        tiered.filter(col("tier") === i).coalesce(1)
+          .write.mode("overwrite").parquet(w.toString)
+        val parts = java.nio.file.Files.list(w).iterator()
+        scala.jdk.CollectionConverters.IteratorHasAsScala(parts).asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+            val dst = java.nio.file.Files.copy(f, dirP.resolve(f"b$i%02d.parquet"))
+            // file source replays oldest-mtime-first: pin batch order
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+          }
+      }
+      val stream = s.readStream.schema(tiered.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dirP.toString)
+      val out = Streaming.streamingDedup(stream,
+          concat_ws(":", col("tier"), col("user_id")), watermark = "10 minutes")
+        .select(col("tier"), col("user_id"))
+      val qn = "sdh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
     })
 
   private def words(c: org.apache.spark.sql.Column) = graft.functions.text.words(c)

@@ -1,0 +1,42 @@
+package org.apache.spark.graftbridge
+
+import org.apache.spark.{MapOutputTrackerMaster, SparkContext}
+
+/** Deterministic shuffle-scratch reclamation for scratch-bounded wave
+  * processing ([[graft.ops.dedup.MinHashDeduplicateFilter]]).
+  *
+  * The default reclamation path — ContextCleaner collecting a
+  * ShuffleDependency's weak reference after a GC — is the wrong tool when
+  * the POINT of a job structure is that wave g's shuffle files are gone
+  * before wave g+1 writes its own: `System.gc()` is a no-op under
+  * `-XX:+DisableExplicitGC` (common in production Spark JVM flags), and
+  * the cleaner's shuffle handling is asynchronous by default
+  * (`spark.cleaner.referenceTracking.blocking.shuffle=false`), so even a
+  * real GC can return before any file is deleted. This bridge instead
+  * snapshots the driver's registered shuffle ids around a wave and
+  * removes exactly the wave's own shuffles, synchronously
+  * (`doCleanupShuffle(id, blocking = true)` unregisters the map outputs
+  * and deletes the files before returning). Lives in an
+  * `org.apache.spark` subpackage because both `SparkContext.cleaner` and
+  * `doCleanupShuffle` are `private[spark]`.
+  */
+object ShuffleCleanup {
+
+  /** Shuffle ids currently registered with the driver's map-output
+    * tracker — i.e. shuffles whose files may still exist. */
+  def liveShuffleIds(sc: SparkContext): Set[Int] =
+    sc.env.mapOutputTracker match {
+      case m: MapOutputTrackerMaster => m.shuffleStatuses.keySet.toSet
+      case _ => Set.empty
+    }
+
+  /** Synchronously unregister the given shuffles and delete their files.
+    * Safe only for shuffles no live plan can re-read — callers must have
+    * truncated downstream lineage (e.g. `localCheckpoint()`) first.
+    * Idempotent: ids the async cleaner already collected are skipped by
+    * the cleaner itself. */
+  def removeShuffles(sc: SparkContext, ids: Set[Int]): Unit =
+    sc.cleaner.foreach { cl =>
+      ids.toSeq.sorted.foreach(id => cl.doCleanupShuffle(id, blocking = true))
+    }
+}

@@ -258,15 +258,24 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     * hence every candidate pair — lives wholly inside one wave). */
   private[graft] def groupedDuplicateIds(withSh: DataFrame,
       groups: Int): DataFrame = {
+    val sc = withSh.sparkSession.sparkContext
     val (identDups, reps) = collapseIdentical(withSh)
     // DISK_ONLY, deliberately: this cache exists only when the corpus
     // already blew the scratch budget, i.e. it is far bigger than the
     // heap — a MEMORY_AND_DISK unroll of corpus-sized columnar blocks
     // across 32 tasks GC-thrashed an 8 GiB ×1000 run to death before
-    // the first wave even shuffled, while straight-to-disk streams
+    // the first wave even shuffled, while straight-to-disk writes the
+    // blocks through a bounded serialization buffer with no unroll
+    // pressure on the heap at all
     val repsB = reps.withColumn("__bands", bandKeys(col("__sh")))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
+      // materialize the shared inputs BEFORE the first per-wave shuffle
+      // snapshot: their backing shuffles (the identical-set window) must
+      // never be classified as wave scratch — repsB's cached blocks are
+      // all that survives for later waves to read
+      val identIds = identDups.localCheckpoint() // eager
+      repsB.count()
       val per = bands / groups
       val extra = bands % groups
       // wave g covers [start, start+len) of the band-key array
@@ -274,19 +283,27 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
         (s + l, per + (if (g < extra) 1 else 0))
       }.tail
       val waves = ranges.map { case (start, len) =>
+        val before = org.apache.spark.graftbridge.ShuffleCleanup.liveShuffleIds(sc)
         // slice() is 1-based
         val banded = repsB.withColumn("__band",
           explode(slice(col("__bands"), start + 1, len)))
           .select(col(orderKey), col("__sh"), col("__band"))
         val ids = bandVerifyDups(banded).localCheckpoint() // eager
-        // drop the wave's now-unreferenced shuffle dependencies promptly:
-        // ContextCleaner reclaims shuffle files on weak-ref GC, and the
-        // whole point of waves is that wave g's scratch is gone before
-        // wave g+1 writes its own
-        System.gc()
+        // Reclaim the wave's shuffle scratch NOW, synchronously: the
+        // localCheckpoint above truncated the ids' lineage, so the
+        // shuffles this wave created (= ids registered since `before`)
+        // are unreachable by any plan. Waiting for ContextCleaner's
+        // weak-ref GC path (even behind a System.gc() nudge) is not a
+        // guarantee — explicit GC may be disabled (-XX:+DisableExplicitGC)
+        // and the cleaner's shuffle handling is async by default — and
+        // the bounded-scratch contract is exactly that wave g's files
+        // are gone before wave g+1 shuffles.
+        val created =
+          org.apache.spark.graftbridge.ShuffleCleanup.liveShuffleIds(sc) -- before
+        org.apache.spark.graftbridge.ShuffleCleanup.removeShuffles(sc, created)
         ids
       }
-      (identDups.localCheckpoint() +: waves).reduce(_ union _).distinct()
+      (identIds +: waves).reduce(_ union _).distinct()
     } finally repsB.unpersist(false)
   }
 }
@@ -385,7 +402,12 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
   * documented approximation (superset of the keep set; same class as
   * MinHashDeduplicateFilter's maxBandBucket, strictly better recall
   * than its min-only star since the pool holds 4096 earlier members,
-  * not one). */
+  * not one). `maxBucket = Int.MaxValue` restores the exact
+  * every-pair-verified semantics of the pre-cap self-join form, and the
+  * approximation is observable at runtime: rows that overflowed their
+  * bucket's pool are counted in the `graft.semdedup.cappedRows`
+  * accumulator (visible in the Spark UI / status API; 0 ⇒ the run was
+  * exact). */
 final case class SemDeduplicateFilter(embKey: String = "embedding",
     orderKey: String = "vec_id", eps: Double = 0.05, mode: String = "lsh",
     bits: Int = 8, tables: Int = 4, dim: Int = 64,
@@ -422,6 +444,10 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
         val outSchema = org.apache.spark.sql.types.StructType(
           Seq(parted.schema(orderKey)))
         val (mb, th) = (maxBucket, 1.0 - eps)
+        // observable cap (see scaladoc): counts rows that arrived after
+        // their bucket's pool was full — 0 means the run was exact
+        val capped = df.sparkSession.sparkContext
+          .longAccumulator("graft.semdedup.cappedRows")
         import org.apache.spark.sql.{Encoders, Row}
         parted.mapPartitions { it =>
           val pool = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
@@ -436,7 +462,7 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
               if (Dedup.cosineFold(pool(k), vec) >= th) dup = true
               k += 1
             }
-            if (pool.length < mb) pool += vec
+            if (pool.length < mb) pool += vec else capped.add(1)
             if (dup) Iterator.single(Row(row.get(1))) else Iterator.empty
           }
         }(Encoders.row(outSchema)).distinct()

@@ -57,8 +57,17 @@ final case class MinHashLSHDeduplicateFilter(inputKey: String = "text",
       // gram set — the exact equivalence class of "equal feature vector"
       // (modulo feature collisions, which only ever merge MORE docs into
       // a class the join would also have scored at distance 0).
+      // Partition the window on a 128-bit DIGEST of that set, not the
+      // set itself: the collapse exchange would otherwise carry each
+      // doc's full gram array as the shuffle KEY (≈ the document over
+      // again), while the md5 is 16 bytes at collision odds ~n²/2¹²⁸ —
+      // the same negligible-collision argument as the custom path's
+      // 64-bit shingle hashes (Dedup.scala).  separator: grams
+      // come from whitespace/punct word splits and cannot contain it,
+      // so the concat is injective on gram sequences.
       val wIdent = org.apache.spark.sql.expressions.Window
-        .partitionBy(array_sort(array_distinct(col("__grams"))))
+        .partitionBy(md5(concat_ws("",
+          array_sort(array_distinct(col("__grams"))))))
         .orderBy(col(orderKey))
       val ranked = withGrams.withColumn("__rn", row_number().over(wIdent))
       val identDups = ranked.filter(col("__rn") > 1).select(col(orderKey))

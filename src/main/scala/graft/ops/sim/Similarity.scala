@@ -181,6 +181,14 @@ object Similarity {
     // first-shared-bucket check BEFORE the cosine: a 4-element array
     // intersect is cheaper than the 64-dim dot it skips on the other
     // tables' copies of a multi-collision pair.
+    // EMIT-ONCE INVARIANT: "first shared bucket is unique per pair"
+    // holds only because CosineLsh namespaces every key "t:code" by
+    // table index, so a row's bucket array has tables DISTINCT entries
+    // (R9Spec pins per-row duplicate-freeness). If the key scheme ever
+    // dropped the namespace, two tables could yield the same key and a
+    // pair would satisfy the first-shared-bucket check in BOTH copies —
+    // duplicate (a,b) rows, with no dropDuplicates left downstream to
+    // catch them.
     // merge hint: both sides are corpus-sized and carry the vector — a
     // small static size estimate must never pick a corpus broadcast
     l.join(r.hint("merge"), Seq("__bucket")).where(col("a") < col("b"))
