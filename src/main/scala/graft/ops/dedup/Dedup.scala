@@ -125,10 +125,20 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
   def apply(df: DataFrame): DataFrame = {
     // The shingle table feeds the identical-set window, the banding pass,
     // and BOTH sides of the pair verify — uncached, each consumer re-runs
-    // the shingle hashing over the whole corpus. Persist it (spills to
-    // disk at scale), materialize the duplicate ids eagerly, release.
+    // the shingle hashing over the whole corpus. Persist it, materialize
+    // the duplicate ids eagerly, release. DISK_ONLY, same reasoning as
+    // repsB below: this table is corpus-sized (~8 B × every shingle), so
+    // at the scales where caching matters its MEMORY_AND_DISK batches
+    // crowd the heap while the downstream window-sort + band-key stage
+    // (full-corpus sort pages + UDF churn + cache builders) already runs
+    // near the GC ceiling — a ×1000 (5M-doc, 378M-shingle) probe on an
+    // 8 GiB / 32-thread JVM died of GC-overhead-limit in exactly that
+    // stage. At small SF the OS page cache serves the re-reads at memory
+    // speed anyway, so DISK_ONLY costs nothing locally. (The stage is
+    // heap-hungry even so: the same probe needs ≥ ~500 MB heap per
+    // executor thread — see BASELINE.md round 9.)
     val withSh = shingled(df)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       val groups = bandGroupCount(withSh)
       val dups = (
@@ -141,7 +151,7 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
 
   /** How many sequential band waves to split the LSH pass into, from the
     * measured shingle volume. The band exchange replicates each doc's
-    * shingle array once per band, so its scratch footprint is ~bands ×
+    * shingle array once per band, so the banded table is ~bands ×
     * corpus-shingle bytes — LINEAR in corpus size but with a ×32
     * constant: a 5M-doc ×1000 probe needed ~105 GB of shuffle scratch
     * and died on a 70 GB-free disk while the same plan at ×100 (a tenth
@@ -151,16 +161,34 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     * waves' verified pairs is EXACTLY the single-pass candidate set
     * (grouping is a partition of bands, not an approximation).
     * One small agg over the already-persisted shingle table; corpora
-    * under the budget keep the single-job plan bit for bit. */
+    * under the budget keep the single-job plan bit for bit.
+    *
+    * The budget governs a wave's PEAK on-disk bytes, which is ~3× the
+    * wave's banded-table slice, not 1×: within one wave the band
+    * window's exchange AND the two sorted sides of the merge self-join
+    * each hold a copy (the join sides are differently-projected — i/sh_i
+    * vs j/sh_j — so ReuseExchange cannot collapse them), and none of the
+    * three can be reclaimed until the wave's job finishes. Measured at
+    * ×1000: a 5-wave split sized 1× (~21 GB/wave nominal) actually
+    * peaked ~60 GB of wave scratch and filled the disk mid-sort-spill;
+    * the ×3 accounting below keeps the real peak at the budget. */
   private[graft] def bandGroupCount(withSh: DataFrame): Int = {
     val row = withSh.agg(
       sum(size(col("__sh"))).cast("long"), count(lit(1))).first()
     val shEntries = if (row.isNullAt(0)) 0L else row.getLong(0)
     val rows = row.getLong(1)
-    // 8 B per shingle hash + ~48 B/row of band key, id, and row headers
-    val bandedBytes = (shEntries * 8L + rows * 48L) * bands
+    // 8 B per shingle hash + ~48 B/row of band key, id, and row headers,
+    // ×3 concurrent on-disk copies per wave (window exchange + 2 join sides)
+    val bandedBytes = (shEntries * 8L + rows * 48L) * bands * 3L
     val g = ((bandedBytes + scratchBudgetBytes - 1) / scratchBudgetBytes).toInt
-    math.max(1, math.min(bands, g))
+    val groups = math.max(1, math.min(bands, g))
+    // scale-evidence breadcrumb: when waves engage, record the estimate
+    // that sized them (stdout JSON so bench harnesses that keep only
+    // "metric" lines capture it; silent in the common single-pass case)
+    if (groups > 1) println(s"""{"metric":"minhash_waves","rows":$rows,""" +
+      s""""shingle_entries":$shEntries,"estimated_scratch_bytes":$bandedBytes,""" +
+      s""""budget_bytes":$scratchBudgetBytes,"groups":$groups}""")
+    groups
   }
 
   /** (orderKey, sorted distinct shingle hashes) per row. */
@@ -282,13 +310,24 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       val ranges = (0 until groups).scanLeft((0, 0)) { case ((s, l), g) =>
         (s + l, per + (if (g < extra) 1 else 0))
       }.tail
-      val waves = ranges.map { case (start, len) =>
+      val waves = ranges.zipWithIndex.map { case ((start, len), g) =>
         val before = org.apache.spark.graftbridge.ShuffleCleanup.liveShuffleIds(sc)
         // slice() is 1-based
         val banded = repsB.withColumn("__band",
           explode(slice(col("__bands"), start + 1, len)))
           .select(col(orderKey), col("__sh"), col("__band"))
-        val ids = bandVerifyDups(banded).localCheckpoint() // eager
+        // distinct() BEFORE the checkpoint, not only after the union:
+        // bandVerifyDups emits one id per (pair, shared band) — quadratic
+        // in near-dup-cluster size until deduplicated — and localCheckpoint
+        // MATERIALIZES its input. Checkpointing the raw emissions wrote
+        // ~15-20 GB of rdd blocks per wave at ×1000 (5M docs, 100-way
+        // clusters) and, held until the final cross-wave distinct, filled
+        // the disk at wave 3 of 13. The distinct's map-side combine
+        // collapses band- and pair-multiplicity inside the wave's own
+        // exchange, so the checkpoint stores ≤ one id per corpus row
+        // (~40 MB) instead. The cross-wave distinct below still collapses
+        // ids found by several waves.
+        val ids = bandVerifyDups(banded).distinct().localCheckpoint() // eager
         // Reclaim the wave's shuffle scratch NOW, synchronously: the
         // localCheckpoint above truncated the ids' lineage, so the
         // shuffles this wave created (= ids registered since `before`)
@@ -301,6 +340,8 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
         val created =
           org.apache.spark.graftbridge.ShuffleCleanup.liveShuffleIds(sc) -- before
         org.apache.spark.graftbridge.ShuffleCleanup.removeShuffles(sc, created)
+        println(s"""{"metric":"minhash_wave","wave":${g + 1},"of":$groups,""" +
+          s""""bands":$len,"shuffles_removed":${created.size}}""")
         ids
       }
       (identIds +: waves).reduce(_ union _).distinct()
