@@ -353,7 +353,13 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
   * simhash over word hashes; pairs within Hamming distance k are dups.
   * The reference does O(n²) pairwise; we band the fingerprint into k+1
   * segments (pigeonhole: hamming ≤ k ⇒ at least one segment equal) →
-  * self-join on segments → exact `bit_count(xor)` verify. */
+  * self-join on segments → exact `bit_count(xor)` verify.
+  *
+  * Scale note: unlike minhash banding, the segment explode replicates
+  * only the 8-byte fingerprint (k+1 = 4 ways), never a per-doc array, so
+  * no scratch-budget waves are needed — measured at ×1000 (5M docs,
+  * 8 GiB JVM): 188.3 s vs 27.3 s at ×100, ×6.9 wall for 10× data,
+  * no spill/scratch incident (BASELINE.md round 9). */
 final case class SimHashDeduplicateFilter(inputKey: String = "text",
     orderKey: String = "doc_id", hammingK: Int = 3,
     maxBandBucket: Int = 4096) extends Op {
