@@ -153,8 +153,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Bucket-width auto-sizing for [[similarityJoin]] (`bits = 0`): with
+    * bits held FIXED, per-table bucket occupancy is n/2^bits — linear in
+    * corpus size — so the candidate stream (Σ C(occupancy, 2) per code)
+    * grows QUADRATICALLY with n: the ×1000 probe measured ~1.2e11
+    * candidate rows at the bits=8 default against 2M vectors, where ×100
+    * (200k vectors) was ~1.25e9. Sizing bits ≈ log₂(n / targetBucket)
+    * keeps occupancy — hence per-code candidate work — constant as the
+    * corpus grows; recall per table falls (p_bit^bits), which the
+    * `tables` OR-amplification offsets for high-cosine pairs (a cos 0.95
+    * pair collides per 14-bit table w.p. ~0.63 vs ~0.77 at 8 bits;
+    * across 16 tables both round to ~1). Floor 8 keeps small corpora on
+    * the well-tested default; cap 24 bounds the key space. */
+  private[graft] def autoBits(n: Long, targetBucket: Int = 1024): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(8, needed))
+  }
+
   /** Cosine-similarity join: all pairs (a, b) with cos ≥ threshold, via
     * multi-table LSH buckets (candidates only, then exact check).
+    * `bits = 0` auto-sizes the bucket width from the corpus row count
+    * (see [[autoBits]]) — the knob that keeps candidate work linear in
+    * corpus size at a fixed per-bucket density.
     *
     * Emit-once: each side carries its full bucket-key array (tables ×
     * ~12 B — noise next to the vector) and a pair survives only in its
@@ -171,8 +192,12 @@ object Similarity {
   def similarityJoin(df: DataFrame, embKey: String, idKey: String,
       threshold: Double, bits: Int = 8, dim: Int = 64,
       tables: Int = 4): DataFrame = {
+    require(bits >= 0 && bits <= 24, s"bits must be in [0, 24], got $bits")
+    // bits = 0 → auto: one cheap count (ids only) sizes the key width so
+    // bucket occupancy stays ~constant as the corpus grows
+    val b = if (bits == 0) autoBits(df.select(col(idKey)).count()) else bits
     val v = df.select(col(idKey), col(embKey).cast("array<double>").as("__v"))
-      .withColumn("__bkts", CosineLsh.buckets(col("__v"), bits, dim, tables))
+      .withColumn("__bkts", CosineLsh.buckets(col("__v"), b, dim, tables))
       .withColumn("__bucket", explode(col("__bkts")))
     val l = v.select(col(idKey).as("a"), col("__v").as("va"),
       col("__bkts").as("__ba"), col("__bucket"))

@@ -93,6 +93,23 @@ class R9Spec extends AnyFunSuite {
     assert(kept.contains(20L))
   }
 
+  test("similarityJoin bits=0 auto-sizes buckets and floors at the default") {
+    import graft.ops.sim.Similarity
+    // the formula: constant-occupancy sizing with floor 8 / cap 24
+    assert(Similarity.autoBits(1000) == 8)        // small corpus → floor
+    assert(Similarity.autoBits(200000) == 8)      // ×100 scale → still 8
+    assert(Similarity.autoBits(2000000) == 11)    // ×1000 → ceil(log2(1953))
+    assert(Similarity.autoBits(2000000000L) == 21)
+    assert(Similarity.autoBits(Long.MaxValue) == 24) // cap
+    // below the floor, auto ≡ the bits=8 default: identical pair sets
+    val emb = core.Storage.table(spark, sf, "embeddings")
+    def pairs(bits: Int) =
+      Similarity.similarityJoin(emb, "embedding", "vec_id", 0.4, bits = bits,
+        tables = 16).select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(0) == pairs(8))
+  }
+
   test("stream_dedup_horizon query matches its batch replay") {
     val q = SparkEntry.queries("stream_dedup_horizon")
     val got = q(spark, sf).collect()
