@@ -250,7 +250,9 @@ object SparkEntry {
          |  WHERE ${sqlCosine("a.e", "b.e", 64)} >= (1.0::DOUBLE - 0.05::DOUBLE))
          |SELECT d.vec_id, d.label FROM embeddings d
          |WHERE d.vec_id NOT IN (SELECT j FROM dups)""".stripMargin) { (s, dir) =>
-      SemDeduplicateFilter("embedding", "vec_id", eps = 0.05)(
+      // bits pinned to the oracle's CTE width (the operator DEFAULT is
+      // bits = 0 → auto-sized from the corpus count)
+      SemDeduplicateFilter("embedding", "vec_id", eps = 0.05, bits = 8)(
         t(s, dir, "embeddings"))
         .select("vec_id", "label")
     },
@@ -1025,8 +1027,10 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
+      // bits pinned to the oracle's CTE width (the operator DEFAULT is
+      // bits = 0 → auto-sized from the corpus count)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-        "embedding", "vec_id", k = 5)
+        "embedding", "vec_id", k = 5, bits = 8)
     },
     // Full value oracle despite the MLlib k-means: training isn't
     // SQL-replayable, but the RUN exports its trained centroids
@@ -1255,38 +1259,70 @@ object SparkEntry {
       val events = t(s, dir, "events")
       val ns = Streaming.tsEpochNanos(events)
       val bounds = events.agg(min(ns), max(ns)).head()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      // integer `div` throughout: epoch nanos exceed 2^53, and tier
-      // boundaries must match the oracle's BIGINT arithmetic bit for bit
-      val tiered = events.withColumn("__ns", ns).withColumn("tier",
-        expr(s"least((__ns - ${lo}L) * 3 div ${hi - lo + 1}L, 2L)")).drop("__ns")
-      val dirP = java.nio.file.Files.createTempDirectory("graft_sdh")
-      (0 to 2).foreach { i =>
-        val w = java.nio.file.Files.createTempDirectory(s"graft_sdh_w$i")
-        tiered.filter(col("tier") === i).coalesce(1)
-          .write.mode("overwrite").parquet(w.toString)
-        val parts = java.nio.file.Files.list(w).iterator()
-        scala.jdk.CollectionConverters.IteratorHasAsScala(parts).asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-            val dst = java.nio.file.Files.copy(f, dirP.resolve(f"b$i%02d.parquet"))
-            // file source replays oldest-mtime-first: pin batch order
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      // empty events table: no bounds row values — the kept set is empty
+      // (guard, or getLong NPEs on the null aggregate)
+      if (bounds.isNullAt(0))
+        events.select(lit(0L).as("tier"), col("user_id")).limit(0)
+      else {
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        // integer `div` throughout: epoch nanos exceed 2^53, and tier
+        // boundaries must match the oracle's BIGINT arithmetic bit for bit
+        val tiered = events.withColumn("__ns", ns).withColumn("tier",
+          expr(s"least((__ns - ${lo}L) * 3 div ${hi - lo + 1}L, 2L)")).drop("__ns")
+        val dirP = java.nio.file.Files.createTempDirectory("graft_sdh")
+        val qn = "sdh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        try {
+          (0 to 2).foreach { i =>
+            val w = java.nio.file.Files.createTempDirectory(s"graft_sdh_w$i")
+            try {
+              tiered.filter(col("tier") === i).coalesce(1)
+                .write.mode("overwrite").parquet(w.toString)
+              val parts = java.nio.file.Files.list(w).iterator()
+              scala.jdk.CollectionConverters.IteratorHasAsScala(parts).asScala
+                .find(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+                  val dst = java.nio.file.Files.copy(f, dirP.resolve(f"b$i%02d.parquet"))
+                  // file source replays oldest-mtime-first: pin batch order
+                  java.nio.file.Files.setLastModifiedTime(dst,
+                    java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+                }
+            } finally deleteRecursively(w)
           }
+          val stream = s.readStream.schema(tiered.schema)
+            .option("maxFilesPerTrigger", 1).parquet(dirP.toString)
+          val out = Streaming.streamingDedup(stream,
+              concat_ws(":", col("tier"), col("user_id")), watermark = "10 minutes")
+            .select(col("tier"), col("user_id"))
+          val q = out.writeStream.outputMode("append").format("memory").queryName(qn)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          // Materialize the kept set OFF the memory sink so the sink's
+          // driver-held rows and temp view don't outlive the query across
+          // repeated bench passes. Driver footprint class is unchanged:
+          // the memory sink already held exactly these rows (the distinct
+          // (tier, user_id) key set — bounded by key cardinality, not by
+          // the event count).
+          val rows = s.table(qn).collect()
+          val schema = s.table(qn).schema
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        } finally {
+          s.catalog.dropTempView(qn)
+          deleteRecursively(dirP)
+        }
       }
-      val stream = s.readStream.schema(tiered.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dirP.toString)
-      val out = Streaming.streamingDedup(stream,
-          concat_ws(":", col("tier"), col("user_id")), watermark = "10 minutes")
-        .select(col("tier"), col("user_id"))
-      val qn = "sdh_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.outputMode("append").format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(qn)
     })
 
   private def words(c: org.apache.spark.sql.Column) = graft.functions.text.words(c)
+
+  /** Best-effort recursive delete for the tiny temp trees the streaming
+    * query stages (a handful of parquet files) — failures are swallowed:
+    * cleanup must never fail the query that produced a correct result. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                      catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
 
   // ---- reasoning + conversations + storage-payload ops --------------------
   // synthesized reasoning columns over documents: question carries the id

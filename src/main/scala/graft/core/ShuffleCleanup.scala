@@ -1,6 +1,7 @@
 package org.apache.spark.graftbridge
 
-import org.apache.spark.{MapOutputTrackerMaster, SparkContext}
+import org.apache.spark.{MapOutputTrackerMaster, ShuffleDependency, SparkContext}
+import org.apache.spark.rdd.RDD
 
 /** Deterministic shuffle-scratch reclamation for scratch-bounded wave
   * processing ([[graft.ops.dedup.MinHashDeduplicateFilter]]).
@@ -29,6 +30,31 @@ object ShuffleCleanup {
       case m: MapOutputTrackerMaster => m.shuffleStatuses.keySet.toSet
       case _ => Set.empty
     }
+
+  /** Shuffle ids reachable from `rdd`'s OWN dependency lineage — the
+    * concurrency-safe way to scope a cleanup: a snapshot delta of ALL
+    * registered ids would also sweep up shuffles a CONCURRENT query
+    * registered in the same window, and deleting those mid-job fails that
+    * query with FetchFailed. Walking the query's executed RDD graph
+    * (ShuffledRowRDD → ShuffleDependency at every exchange boundary,
+    * including reused ones) attributes each shuffle to the plan that owns
+    * it, so callers remove `lineageShuffleIds(myRdd) -- priorSnapshot` —
+    * exactly this query's new shuffles, no one else's. Call after the
+    * RDD graph exists (e.g. `df.queryExecution.toRdd`, which also
+    * materializes AQE's intermediate stages) and BEFORE any
+    * lineage-truncating checkpoint erases the dependencies. */
+  def lineageShuffleIds(rdd: RDD[_]): Set[Int] = {
+    val seen = scala.collection.mutable.Set[Int]()
+    val out = scala.collection.mutable.Set[Int]()
+    def walk(r: RDD[_]): Unit = if (seen.add(r.id)) {
+      r.dependencies.foreach {
+        case s: ShuffleDependency[_, _, _] => out += s.shuffleId; walk(s.rdd)
+        case d => walk(d.rdd)
+      }
+    }
+    walk(rdd)
+    out.toSet
+  }
 
   /** Synchronously unregister the given shuffles and delete their files.
     * Safe only for shuffles no live plan can re-read — callers must have

@@ -90,9 +90,10 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     orderKey: String = "doc_id", ngram: Int = 3, numPerm: Int = 128,
     bands: Int = 32, threshold: Double = 0.9,
     maxBandBucket: Int = 1024,
-    scratchBudgetBytes: Long = 24L << 30) extends Op {
+    scratchBudgetBytes: Long = 0L) extends Op {
   require(numPerm % bands == 0, "bands must divide numPerm")
-  require(scratchBudgetBytes > 0, "scratchBudgetBytes must be positive")
+  require(scratchBudgetBytes >= 0,
+    "scratchBudgetBytes must be >= 0 (0 = auto-size from spark.local.dir)")
   val name = "minhash_deduplicate_filter"
   val inputKeys = Seq(inputKey, orderKey)
   val outputKeys = Nil
@@ -177,17 +178,25 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       sum(size(col("__sh"))).cast("long"), count(lit(1))).first()
     val shEntries = if (row.isNullAt(0)) 0L else row.getLong(0)
     val rows = row.getLong(1)
+    // the budget defends a REAL disk, so by default it tracks that disk:
+    // waves trade wall for bounded scratch (×1000 paid ×23.6 wall at a
+    // 24 GiB constant that ignored the machine), and a constant budget
+    // on a roomier disk serializes waves for no protection at all.
+    // Explicit scratchBudgetBytes overrides for shared-disk deployments.
+    val budget =
+      if (scratchBudgetBytes > 0) scratchBudgetBytes
+      else MinHashDeduplicateFilter.autoScratchBudget(withSh.sparkSession)
     // 8 B per shingle hash + ~48 B/row of band key, id, and row headers,
     // ×3 concurrent on-disk copies per wave (window exchange + 2 join sides)
     val bandedBytes = (shEntries * 8L + rows * 48L) * bands * 3L
-    val g = ((bandedBytes + scratchBudgetBytes - 1) / scratchBudgetBytes).toInt
+    val g = ((bandedBytes + budget - 1) / budget).toInt
     val groups = math.max(1, math.min(bands, g))
     // scale-evidence breadcrumb: when waves engage, record the estimate
     // that sized them (stdout JSON so bench harnesses that keep only
     // "metric" lines capture it; silent in the common single-pass case)
     if (groups > 1) println(s"""{"metric":"minhash_waves","rows":$rows,""" +
       s""""shingle_entries":$shEntries,"estimated_scratch_bytes":$bandedBytes,""" +
-      s""""budget_bytes":$scratchBudgetBytes,"groups":$groups}""")
+      s""""budget_bytes":$budget,"groups":$groups}""")
     groups
   }
 
@@ -327,18 +336,28 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
         // exchange, so the checkpoint stores ≤ one id per corpus row
         // (~40 MB) instead. The cross-wave distinct below still collapses
         // ids found by several waves.
-        val ids = bandVerifyDups(banded).distinct().localCheckpoint() // eager
+        val idsDf = bandVerifyDups(banded).distinct()
+        // Attribute the wave's shuffles from the wave's OWN executed RDD
+        // lineage (toRdd also materializes the AQE stages), not from a
+        // global registered-ids delta: a delta would sweep up — and
+        // delete mid-job — shuffles any CONCURRENT query on this session
+        // registered during the wave. `-- before` additionally shields
+        // the shared prologue (identical-set window behind repsB's cached
+        // blocks, reachable through the cache's recompute lineage), which
+        // later waves still depend on if a DISK_ONLY block is lost.
+        val created =
+          org.apache.spark.graftbridge.ShuffleCleanup.lineageShuffleIds(
+            idsDf.queryExecution.toRdd) -- before
+        val ids = idsDf.localCheckpoint() // eager
         // Reclaim the wave's shuffle scratch NOW, synchronously: the
         // localCheckpoint above truncated the ids' lineage, so the
-        // shuffles this wave created (= ids registered since `before`)
-        // are unreachable by any plan. Waiting for ContextCleaner's
-        // weak-ref GC path (even behind a System.gc() nudge) is not a
-        // guarantee — explicit GC may be disabled (-XX:+DisableExplicitGC)
-        // and the cleaner's shuffle handling is async by default — and
-        // the bounded-scratch contract is exactly that wave g's files
-        // are gone before wave g+1 shuffles.
-        val created =
-          org.apache.spark.graftbridge.ShuffleCleanup.liveShuffleIds(sc) -- before
+        // shuffles this wave created are unreachable by any plan.
+        // Waiting for ContextCleaner's weak-ref GC path (even behind a
+        // System.gc() nudge) is not a guarantee — explicit GC may be
+        // disabled (-XX:+DisableExplicitGC) and the cleaner's shuffle
+        // handling is async by default — and the bounded-scratch contract
+        // is exactly that wave g's files are gone before wave g+1
+        // shuffles.
         org.apache.spark.graftbridge.ShuffleCleanup.removeShuffles(sc, created)
         println(s"""{"metric":"minhash_wave","wave":${g + 1},"of":$groups,""" +
           s""""bands":$len,"shuffles_removed":${created.size}}""")
@@ -346,6 +365,33 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       }
       (identIds +: waves).reduce(_ union _).distinct()
     } finally repsB.unpersist(false)
+  }
+}
+
+object MinHashDeduplicateFilter {
+  /** Used when the shuffle-dir free space can't be measured (statfs
+    * unavailable, misconfigured dir) — the round-8/9 constant, proven to
+    * complete at ×1000. */
+  val FallbackScratchBudgetBytes: Long = 24L << 30
+
+  /** Half the usable space of the FIRST spark.local.dir at plan time —
+    * conservative (other tasks' spills, temp_ sort files and rdd_
+    * checkpoint blocks share the same volume and sit OUTSIDE the banded
+    * estimate), yet it tracks the actual resource the waves protect.
+    * Multiple local dirs: Spark round-robins blocks across them, so the
+    * first dir's free space is a lower-bound proxy, which only ever
+    * errs toward MORE protection. */
+  private[dedup] def autoScratchBudget(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    autoScratchBudgetFromDirs(spark.sparkContext.getConf.get(
+      "spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp")))
+
+  private[graft] def autoScratchBudgetFromDirs(dirs: String): Long = {
+    val first = dirs.split(",").head.trim
+    val usable =
+      try new java.io.File(first).getUsableSpace
+      catch { case _: Throwable => 0L }
+    if (usable <= 0L) FallbackScratchBudgetBytes else usable / 2
   }
 }
 
@@ -457,15 +503,24 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
   * exact). */
 final case class SemDeduplicateFilter(embKey: String = "embedding",
     orderKey: String = "vec_id", eps: Double = 0.05, mode: String = "lsh",
-    bits: Int = 8, tables: Int = 4, dim: Int = 64,
+    bits: Int = 0, tables: Int = 4, dim: Int = 64,
     maxBucket: Int = 4096) extends Op {
   require(mode == "lsh" || mode == "exact", s"mode $mode")
+  require(bits >= 0, s"bits must be >= 0, got $bits")
   require(maxBucket > 0, "maxBucket must be positive")
   val name = "sem_deduplicate_filter"
   val inputKeys = Seq(embKey, orderKey)
   val outputKeys = Nil
   def apply(df: DataFrame): DataFrame = {
     val v = df.select(col(orderKey), col(embKey).cast("array<double>").as("__v"))
+    // bits = 0 (default) → auto-size from the corpus count, same
+    // constant-occupancy reasoning as Similarity.similarityJoin: a fixed
+    // width is linear occupancy growth, and here overflow past maxBucket
+    // silently costs RECALL (rows checked against the capped pool only) —
+    // auto keeps buckets at the density the cap assumes. Floor 8 makes
+    // small corpora identical to the old fixed default.
+    val b = if (bits == 0 && mode == "lsh")
+      graft.ops.sim.Similarity.autoBits(v.count()) else bits
     val dups =
       if (mode == "exact") {
         val cos = Dedup.cosine(col("vi"), col("vj"))
@@ -484,7 +539,7 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
         // CosineSimilarity expression — decisions are bit-identical to
         // the SQL oracle's replay.
         val bucketed = v.withColumn("__bucket", explode(
-          graft.ops.sim.CosineLsh.buckets(col("__v"), bits, dim, tables)))
+          graft.ops.sim.CosineLsh.buckets(col("__v"), b, dim, tables)))
           .select(col("__bucket"), col(orderKey), col("__v"))
         val parted = bucketed.repartition(col("__bucket"))
           .sortWithinPartitions(col("__bucket"), col(orderKey))

@@ -62,11 +62,18 @@ final case class MinHashLSHDeduplicateFilter(inputKey: String = "text",
       // doc's full gram array as the shuffle KEY (≈ the document over
       // again), while the md5 is 16 bytes at collision odds ~n²/2¹²⁸ —
       // the same negligible-collision argument as the custom path's
-      // 64-bit shingle hashes (Dedup.scala).  separator: grams
-      // come from whitespace/punct word splits and cannot contain it,
-      // so the concat is injective on gram sequences.
+      // 64-bit shingle hashes (Dedup.scala). "\n" separator — a
+      // separator the grams provably cannot contain: splitWords
+      // tokenizes on \s+, so words (hence space-joined grams) hold
+      // no whitespace beyond the joining single spaces, and newline
+      // in particular never survives. \u0001 (the previous choice)
+      // is NOT \s-whitespace, so it rides through the tokenizer
+      // inside a word and breaks injectivity: gram sets
+      // {"a\u0001b","c"} and {"a","b\u0001c"} concatenate
+      // identically and two unrelated docs would collapse as exact
+      // duplicates.
       val wIdent = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(concat_ws("",
+        .partitionBy(md5(concat_ws("\n",
           array_sort(array_distinct(col("__grams"))))))
         .orderBy(col(orderKey))
       val ranked = withGrams.withColumn("__rn", row_number().over(wIdent))

@@ -49,16 +49,26 @@ object Similarity {
     * it collides in ANY table, so recall ≈ 1-(1-p^bits)^tables instead of
     * single-probe p^bits. Same-bucket candidates then rank exactly.
     * Recall < 1 by construction — the 100 TB path where brute force is
-    * off the table. */
+    * off the table.
+    *
+    * `bits = 0` (the default) auto-sizes the bucket width from the CORPUS
+    * row count (see [[autoBits]]): with bits held fixed, per-table bucket
+    * occupancy is n/2^bits — linear in corpus size — so every query's
+    * candidate scan grows linearly with the corpus and the corpus side
+    * has no occupancy cap at all. Auto keeps per-bucket density constant;
+    * the floor makes small corpora identical to the old bits=8 default. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, embKey: String,
-      idKey: String, k: Int, bits: Int = 8, dim: Int = 64,
+      idKey: String, k: Int, bits: Int = 0, dim: Int = 64,
       tables: Int = 4): DataFrame = {
+    require(bits >= 0, s"bits must be >= 0, got $bits")
+    val b = if (bits == 0)
+      autoBits(corpus.select(col(idKey)).count()) else bits
     val c = corpus.select(col(idKey).as("neighbor_id"),
       col(embKey).cast("array<double>").as("__ce"))
-      .withColumn("__bucket", explode(CosineLsh.buckets(col("__ce"), bits, dim, tables)))
+      .withColumn("__bucket", explode(CosineLsh.buckets(col("__ce"), b, dim, tables)))
     val q = queries.select(col(idKey).as("query_id"),
       col(embKey).cast("array<double>").as("__qe"))
-      .withColumn("__bucket", explode(CosineLsh.buckets(col("__qe"), bits, dim, tables)))
+      .withColumn("__bucket", explode(CosineLsh.buckets(col("__qe"), b, dim, tables)))
     // cosine BEFORE the pair-dedup: the distinct shuffle then moves
     // (query_id, neighbor_id, cos) — ~24 bytes — instead of dragging both
     // embedding arrays (~1 KB/row) through the exchange; re-scoring a
@@ -164,7 +174,11 @@ object Similarity {
     * `tables` OR-amplification offsets for high-cosine pairs (a cos 0.95
     * pair collides per 14-bit table w.p. ~0.63 vs ~0.77 at 8 bits;
     * across 16 tables both round to ~1). Floor 8 keeps small corpora on
-    * the well-tested default; cap 24 bounds the key space. */
+    * the well-tested default; cap 24 bounds the key space. The cap
+    * applies to the AUTO path only — explicit `bits` values are taken
+    * as given (a caller may deliberately go wider). Shared by
+    * [[similarityJoin]], [[lshTopK]] (corpus side) and
+    * [[graft.ops.dedup.SemDeduplicateFilter]]. */
   private[graft] def autoBits(n: Long, targetBucket: Int = 1024): Int = {
     val needed = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
@@ -173,9 +187,24 @@ object Similarity {
 
   /** Cosine-similarity join: all pairs (a, b) with cos ≥ threshold, via
     * multi-table LSH buckets (candidates only, then exact check).
-    * `bits = 0` auto-sizes the bucket width from the corpus row count
-    * (see [[autoBits]]) — the knob that keeps candidate work linear in
-    * corpus size at a fixed per-bucket density.
+    * `bits = 0` (the DEFAULT — fixed widths are the measured scale trap:
+    * at bits=8 the ×1000 probe's candidate work was ~1.2e11 rows)
+    * auto-sizes the bucket width from the corpus row count (see
+    * [[autoBits]]) — the knob that keeps candidate work linear in corpus
+    * size at a fixed per-bucket density. Explicit `bits` values are
+    * honored as given, including > 24.
+    *
+    * `center = true` subtracts the corpus mean before the sign-bit dot
+    * products (equivalently: per-plane offsets dot(μ, w_p), computed once
+    * from one cheap agg). Random-hyperplane codes assume roughly
+    * zero-centered data; an all-positive embedding corpus puts most mass
+    * on the same side of many planes, so codes skew into a few hot
+    * buckets and wider keys split them slowly — the round-9 A/B measured
+    * only 1.22× from bits 8→11 on such a corpus for exactly this reason.
+    * Centering is a RUNTIME knob (default off): bucket assignment changes,
+    * so runs pinned to a SQL oracle's uncentered codes must not set it;
+    * the exact cosine verify is unchanged either way, so the PAIR SET at
+    * a given threshold only gains/loses via candidate recall.
     *
     * Emit-once: each side carries its full bucket-key array (tables ×
     * ~12 B — noise next to the vector) and a pair survives only in its
@@ -190,14 +219,17 @@ object Similarity {
     * ~4×-output shuffle scratch. With emit-once the pairs stream
     * straight from the join. */
   def similarityJoin(df: DataFrame, embKey: String, idKey: String,
-      threshold: Double, bits: Int = 8, dim: Int = 64,
-      tables: Int = 4): DataFrame = {
-    require(bits >= 0 && bits <= 24, s"bits must be in [0, 24], got $bits")
+      threshold: Double, bits: Int = 0, dim: Int = 64,
+      tables: Int = 4, center: Boolean = false): DataFrame = {
+    require(bits >= 0, s"bits must be >= 0, got $bits")
     // bits = 0 → auto: one cheap count (ids only) sizes the key width so
     // bucket occupancy stays ~constant as the corpus grows
     val b = if (bits == 0) autoBits(df.select(col(idKey)).count()) else bits
+    val offsets =
+      if (center) CosineLsh.centerOffsets(df, embKey, b, dim, tables)
+      else Array.empty[Double]
     val v = df.select(col(idKey), col(embKey).cast("array<double>").as("__v"))
-      .withColumn("__bkts", CosineLsh.buckets(col("__v"), b, dim, tables))
+      .withColumn("__bkts", CosineLsh.buckets(col("__v"), b, dim, tables, offsets))
       .withColumn("__bucket", explode(col("__bkts")))
     val l = v.select(col(idKey).as("a"), col("__v").as("va"),
       col("__bkts").as("__ba"), col("__bucket"))
@@ -235,4 +267,32 @@ object CosineLsh {
     * ([[graft.functions.kernels]]). */
   def buckets(v: Column, bits: Int, dim: Int, tables: Int): Column =
     graft.functions.hashExpressions.lshBuckets(v, bits, dim, tables)
+
+  /** Centered variant: plane p's sign test becomes dot(v, w_p) >
+    * offsets(p). Empty offsets = the uncentered form above. */
+  def buckets(v: Column, bits: Int, dim: Int, tables: Int,
+      offsets: Array[Double]): Column =
+    graft.functions.hashExpressions.lshBuckets(v, bits, dim, tables, offsets)
+
+  /** Per-plane centering offsets from the corpus mean: since the plane
+    * weights are fixed, dot(v - μ, w_p) > 0 ⟺ dot(v, w_p) > dot(μ, w_p),
+    * so centering is tables×bits precomputed scalars — no second
+    * per-row vector materialization, and the hot kernel only swaps the
+    * comparison constant. One narrow agg pass computes μ (element_at past
+    * a short vector's end is null and avg ignores nulls — consistent
+    * with the kernel's min(length) dot loop). */
+  def centerOffsets(df: DataFrame, embKey: String, bits: Int, dim: Int,
+      tables: Int): Array[Double] = {
+    val vcol = col(embKey).cast("array<double>")
+    val aggs = (0 until dim).map(i => avg(element_at(vcol, i + 1)))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val mean = Array.tabulate(dim)(i =>
+      if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+    val w = graft.functions.kernels.planes(bits, dim, tables)
+    Array.tabulate(tables * bits) { p =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += mean(i) * w(p)(i); i += 1 }
+      s
+    }
+  }
 }

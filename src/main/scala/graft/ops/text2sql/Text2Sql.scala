@@ -441,11 +441,30 @@ object SqlExecutor {
   def hashed(spark: SparkSession, sql: String, timeoutSec: Int): Option[String] =
     hashedImpl(spark, sql, timeoutSec, tryFoldFirst = true)
 
+  /** Result-row ceiling for [[hashedImpl]]'s driver collect. The
+    * fingerprint needs every result row on the driver (sorted canonical
+    * encoding), and the statements are DATA-DEPENDENT SQL TEXT — one
+    * synthesized `SELECT * FROM <factTable>` would otherwise materialize
+    * a corpus-scale result and OOM the driver at 100× data. Same
+    * loud-refusal idiom as [[SparkSessionBackend]]'s `maxDistinct`:
+    * refuse with a named limit instead of dying silently. 4M rows ≈
+    * hundreds of MB of encodings — generous for fingerprinting, safe for
+    * a driver. */
+  val MaxHashRows: Int = 4 << 20
+
+  /** Thrown (NOT swallowed into the None error-verdict) when a statement's
+    * result exceeds [[MaxHashRows]]: an over-cap result is a refused
+    * measurement, not a failed statement — silently classifying it as an
+    * execution error would corrupt the compare. */
+  final class ResultCapExceededException(msg: String)
+    extends RuntimeException(msg)
+
   /** `tryFoldFirst = false` skips the fold: [[SparkSessionBackend]]'s
     * serial sweep has already tried it, and repeating the analysis in the
     * pooled task would triple per-statement driver work. */
-  private[text2sql] def hashedImpl(spark: SparkSession, sql: String,
-      timeoutSec: Int, tryFoldFirst: Boolean): Option[String] = {
+  private[graft] def hashedImpl(spark: SparkSession, sql: String,
+      timeoutSec: Int, tryFoldFirst: Boolean,
+      maxRows: Int = MaxHashRows): Option[String] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     implicit val ec: scala.concurrent.ExecutionContext = timedEc
@@ -457,15 +476,30 @@ object SqlExecutor {
           case Some(rows) => Some(SqlBackend.resultSetHash(rows))
           case None =>
             try {
-              val rows = spark.sql(sql).collect()
+              // limit(maxRows + 1): under the cap this is the full result
+              // set (LIMIT over a superset count returns every row), so
+              // the hash is unchanged; over the cap it bounds what ever
+              // reaches the driver to one row past the limit
+              val rows = spark.sql(sql).limit(maxRows + 1).collect()
+              if (rows.length > maxRows)
+                throw new ResultCapExceededException(
+                  s"statement result exceeds $maxRows rows — refusing to " +
+                    "fingerprint on the driver; raise maxRows or compare " +
+                    "on a bounded projection")
               // U+0001 cell separator — the same one JdbcSqlBackend.run
               // appends, so both backends emit one canonical row encoding
               // and cross-backend hash comparison is meaningful.
               Some(SqlBackend.resultSetHash(rows.toSeq.map(r =>
                 r.toSeq.map(SqlBackend.cell).mkString(SqlBackend.CellSep))))
-            } catch { case _: Throwable => None }
+            } catch {
+              case e: ResultCapExceededException => throw e
+              case _: Throwable => None
+            }
         }
       }, timeoutSec.seconds)
-    } catch { case _: Throwable => None }
+    } catch {
+      case e: ResultCapExceededException => throw e
+      case _: Throwable => None
+    }
   }
 }

@@ -39,7 +39,14 @@ class R9Spec extends AnyFunSuite {
     val op = graft.ops.dedup.MinHashDeduplicateFilter()
     val withSh = op.shingled(docs).persist()
     try {
+      val before0 = ShuffleCleanup.liveShuffleIds(spark.sparkContext)
       val single = op.duplicateIds(withSh).collect().map(_.getLong(0)).toSet
+      // the single-pass plan's OWN shuffle count, measured — the leak
+      // assertion below is relative to it, so a benign planner/AQE change
+      // that adds an exchange moves both sides instead of flaking a
+      // hard-coded constant (round-9 ADVICE)
+      val singleCreated =
+        (ShuffleCleanup.liveShuffleIds(spark.sparkContext) -- before0).size
       val before = ShuffleCleanup.liveShuffleIds(spark.sparkContext)
       val waved = op.groupedDuplicateIds(withSh, groups = 3)
       val got = waved.collect().map(_.getLong(0)).toSet
@@ -47,12 +54,15 @@ class R9Spec extends AnyFunSuite {
       // every wave's shuffles were removed inside groupedDuplicateIds;
       // what remains is at most the shared prologue (identical-set
       // window / repsB materialization) and the final union-distinct —
-      // bounded, not ~3 waves' worth of band exchanges. Each wave
-      // creates ≥ 2 shuffles (band window stats + merge join sort), so
-      // leaking all of them would add ≥ 6 here.
+      // strictly fewer than the single-pass run registers (prologue +
+      // band window + merge-join sides + final distinct). If reclamation
+      // broke, the 3 waves leak ≥ 2 band shuffles EACH on top of that
+      // shared remainder, pushing the waved count past the single-pass
+      // count.
       val leaked = ShuffleCleanup.liveShuffleIds(spark.sparkContext) -- before
-      assert(leaked.size <= 4,
-        s"expected wave shuffles to be reclaimed eagerly, found ${leaked.size} new live shuffles")
+      assert(leaked.size < singleCreated,
+        s"expected wave shuffles to be reclaimed eagerly: ${leaked.size} new " +
+          s"live shuffles vs $singleCreated from the single-pass plan")
     } finally withSh.unpersist(false)
   }
 
