@@ -42,7 +42,20 @@ object ShuffleCleanup {
     * exactly this query's new shuffles, no one else's. Call after the
     * RDD graph exists (e.g. `df.queryExecution.toRdd`, which also
     * materializes AQE's intermediate stages) and BEFORE any
-    * lineage-truncating checkpoint erases the dependencies. */
+    * lineage-truncating checkpoint erases the dependencies.
+    *
+    * Known gap (accepted trade-off vs the concurrent-delete hazard):
+    * only shuffles reachable from the FINAL RDD graph are found.
+    * Shuffles materialized but replanned out of the final lineage — an
+    * AQE stage later converted shuffle→broadcast, or exchanges inside
+    * broadcast/subquery subtrees (which hang off the SparkPlan, not the
+    * final RDD's dependencies) — are missed here and reclaimed only by
+    * ContextCleaner's eventual GC path, slightly loosening the
+    * bounded-scratch contract. For the wave plans this serves the final
+    * lineage IS the wave's full shuffle set (merge-hinted joins, no
+    * broadcast subtrees), so the gap is theoretical there; a caller with
+    * broadcast/subquery subtrees should expect eager reclamation to
+    * under-collect, never over-collect. */
   def lineageShuffleIds(rdd: RDD[_]): Set[Int] = {
     val seen = scala.collection.mutable.Set[Int]()
     val out = scala.collection.mutable.Set[Int]()

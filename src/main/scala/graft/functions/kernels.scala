@@ -203,6 +203,13 @@ object kernels {
     * = the uncentered form; otherwise it must carry tables×bits values. */
   def lshBuckets(vec: Seq[Double], bits: Int, dim: Int,
       tables: Int, offsets: Array[Double]): Array[String] = {
+    // 63 = the Long code width: `1L << bi` shifts mod 64, so bits >= 64
+    // would silently wrap and overwrite low code bits — degenerate
+    // COARSER buckets instead of the wider keys the caller asked for.
+    // Enforced here (not only at operator boundaries) because the kernel
+    // is also reachable via the SQL-registered `cosine_lsh_buckets`.
+    require(bits >= 1 && bits <= 63,
+      s"bits must be in [1, 63] (Long bucket-code width), got $bits")
     if (vec == null || vec.isEmpty) return Array.empty[String]
     val off = if (offsets == null || offsets.isEmpty) null else offsets
     require(off == null || off.length == tables * bits,

@@ -374,17 +374,33 @@ object MinHashDeduplicateFilter {
     * complete at ×1000. */
   val FallbackScratchBudgetBytes: Long = 24L << 30
 
-  /** Half the usable space of the FIRST spark.local.dir at plan time —
-    * conservative (other tasks' spills, temp_ sort files and rdd_
-    * checkpoint blocks share the same volume and sit OUTSIDE the banded
-    * estimate), yet it tracks the actual resource the waves protect.
-    * Multiple local dirs: Spark round-robins blocks across them, so the
-    * first dir's free space is a lower-bound proxy, which only ever
-    * errs toward MORE protection. */
+  /** LOCAL MODE ONLY: half the usable space of the FIRST spark.local.dir
+    * at plan time — conservative (other tasks' spills, temp_ sort files
+    * and rdd_ checkpoint blocks share the same volume and sit OUTSIDE the
+    * banded estimate), yet it tracks the actual resource the waves
+    * protect. Multiple local dirs: Spark round-robins blocks across them,
+    * so the first dir's free space is a lower-bound proxy, which only
+    * ever errs toward MORE protection.
+    *
+    * CLUSTER CAVEAT: wave shuffle scratch lives on EXECUTOR disks, and on
+    * YARN/K8s the executors' actual dirs come from LOCAL_DIRS /
+    * emptyDir volumes that override the conf — a statfs of the DRIVER's
+    * dir can grossly oversize the budget and silently re-enable the
+    * disk-full failure the waves exist to prevent. So auto-sizing only
+    * happens when the context is local (driver disk == executor disk by
+    * construction); any non-local master falls back to the ×1000-proven
+    * 24 GiB constant, and cluster operators should set
+    * `scratchBudgetBytes` explicitly to (executor scratch volume)/2. */
   private[dedup] def autoScratchBudget(
       spark: org.apache.spark.sql.SparkSession): Long =
-    autoScratchBudgetFromDirs(spark.sparkContext.getConf.get(
-      "spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp")))
+    autoScratchBudgetImpl(spark.sparkContext.isLocal,
+      spark.sparkContext.getConf.get(
+        "spark.local.dir", System.getProperty("java.io.tmpdir", "/tmp")))
+
+  private[graft] def autoScratchBudgetImpl(isLocal: Boolean,
+      dirs: String): Long =
+    if (isLocal) autoScratchBudgetFromDirs(dirs)
+    else FallbackScratchBudgetBytes
 
   private[graft] def autoScratchBudgetFromDirs(dirs: String): Long = {
     val first = dirs.split(",").head.trim
@@ -506,7 +522,8 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
     bits: Int = 0, tables: Int = 4, dim: Int = 64,
     maxBucket: Int = 4096) extends Op {
   require(mode == "lsh" || mode == "exact", s"mode $mode")
-  require(bits >= 0, s"bits must be >= 0, got $bits")
+  require(bits >= 0 && bits <= 63,
+    s"bits must be in [0, 63] (Long bucket-code width), got $bits")
   require(maxBucket > 0, "maxBucket must be positive")
   val name = "sem_deduplicate_filter"
   val inputKeys = Seq(embKey, orderKey)

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Query-side broadcast ceiling for [[lshTopK]]: 100k rows × (64-dim
+    * double vector + tables bucket keys) ≈ 60 MB built once per executor
+    * — the comfortable upper edge for a broadcast build. Above it the
+    * join falls back to a shuffle (see the gate in [[lshTopK]]). */
+  val MaxBroadcastQueries: Long = 100000L
+
   /** Sequential-fold cosine via the native codegen'd expression — same
     * IEEE op order as a left-fold SQL oracle, bit-reproducible. */
   def cosine(a: Column, b: Column): Column =
@@ -59,22 +65,42 @@ object Similarity {
     * the floor makes small corpora identical to the old bits=8 default. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, embKey: String,
       idKey: String, k: Int, bits: Int = 0, dim: Int = 64,
-      tables: Int = 4): DataFrame = {
-    require(bits >= 0, s"bits must be >= 0, got $bits")
+      tables: Int = 4,
+      maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
+    require(bits >= 0 && bits <= 63,
+      s"bits must be in [0, 63] (Long bucket-code width), got $bits")
     val b = if (bits == 0)
       autoBits(corpus.select(col(idKey)).count()) else bits
     val c = corpus.select(col(idKey).as("neighbor_id"),
       col(embKey).cast("array<double>").as("__ce"))
       .withColumn("__bucket", explode(CosineLsh.buckets(col("__ce"), b, dim, tables)))
-    val q = queries.select(col(idKey).as("query_id"),
+    val q0 = queries.select(col(idKey).as("query_id"),
       col(embKey).cast("array<double>").as("__qe"))
+    // The broadcast below is the operator's contract — top-k for a SMALL
+    // query set against a big corpus, one narrow corpus pass, no corpus
+    // shuffle. A corpus-sized query set would build a multi-GB broadcast
+    // and die on the driver/executors (the r6 band-join hazard class), so
+    // the hint is gated on a cheap ids-only count: above the threshold we
+    // fall back to a shuffle join (merge hint — both sides corpus-scale,
+    // a static-estimate broadcast must not resurface) and say so loudly.
+    val qCount = q0.select(col("query_id")).count()
+    val q = q0
       .withColumn("__bucket", explode(CosineLsh.buckets(col("__qe"), b, dim, tables)))
+    val qSide =
+      if (qCount <= maxBroadcastQueries) broadcast(q)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lshTopK: $qCount query rows exceed maxBroadcastQueries=" +
+            s"$maxBroadcastQueries — falling back to a shuffle join " +
+            "(broadcast of a corpus-sized query side would OOM)")
+        q.hint("merge")
+      }
     // cosine BEFORE the pair-dedup: the distinct shuffle then moves
     // (query_id, neighbor_id, cos) — ~24 bytes — instead of dragging both
     // embedding arrays (~1 KB/row) through the exchange; re-scoring a
     // pair that collides in several tables is 64 FLOPs, far cheaper than
     // shuffling its vectors once
-    val scored = c.join(broadcast(q), Seq("__bucket"))
+    val scored = c.join(qSide, Seq("__bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
       .select("query_id", "neighbor_id", "cos")
@@ -192,7 +218,9 @@ object Similarity {
     * auto-sizes the bucket width from the corpus row count (see
     * [[autoBits]]) — the knob that keeps candidate work linear in corpus
     * size at a fixed per-bucket density. Explicit `bits` values are
-    * honored as given, including > 24.
+    * honored as given, including > 24, up to 63 (the Long code width —
+    * wider would silently wrap the shift and COARSEN buckets, so it is
+    * rejected at the boundary).
     *
     * `center = true` subtracts the corpus mean before the sign-bit dot
     * products (equivalently: per-plane offsets dot(μ, w_p), computed once
@@ -221,7 +249,8 @@ object Similarity {
   def similarityJoin(df: DataFrame, embKey: String, idKey: String,
       threshold: Double, bits: Int = 0, dim: Int = 64,
       tables: Int = 4, center: Boolean = false): DataFrame = {
-    require(bits >= 0, s"bits must be >= 0, got $bits")
+    require(bits >= 0 && bits <= 63,
+      s"bits must be in [0, 63] (Long bucket-code width), got $bits")
     // bits = 0 → auto: one cheap count (ids only) sizes the key width so
     // bucket occupancy stays ~constant as the corpus grows
     val b = if (bits == 0) autoBits(df.select(col(idKey)).count()) else bits

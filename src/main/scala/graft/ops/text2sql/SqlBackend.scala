@@ -34,9 +34,19 @@ object SqlGuard {
   *
   * `execute` maps a DataFrame of DISTINCT statements (column `sqlKey`) to
   * (sqlKey, __ok: boolean, __hash: string) where __hash is the sha256 hex
-  * of the sorted canonical row encoding of the result set (null on
-  * failure). sha256 — not 32-bit hashCode — so execution-compare
-  * classification cannot false-match on collisions at corpus scale.
+  * of the sorted canonical row encoding of the result set. sha256 — not
+  * 32-bit hashCode — so execution-compare classification cannot
+  * false-match on collisions at corpus scale.
+  *
+  * The two columns encode THREE per-statement verdicts:
+  *  - `(true, hash)` — executed, result fingerprinted;
+  *  - `(false, null)` — failed (parse guard, error, timeout);
+  *  - `(true, null)` — REFUSED: executed fine, but the result exceeded
+  *    the fingerprint row ceiling ([[SqlExecutor.MaxHashRows]]). Kept
+  *    distinct from failure so one over-cap statement degrades only
+  *    itself: execution filters (which read `__ok`) still keep it, while
+  *    execution-compare (which reads `__hash`) sees null ≠ anything and
+  *    never counts unverifiable agreement.
   */
 trait SqlBackend extends Serializable {
   def execute(distinct: DataFrame, sqlKey: String, timeoutSec: Int): DataFrame
@@ -126,8 +136,9 @@ final case class JdbcSqlBackend(url: String, driverClass: String = "",
 }
 
 object JdbcSqlBackend {
-  private[text2sql] def run(conn: java.sql.Connection, sql: String,
-      timeoutSec: Int): (Boolean, String) = {
+  private[graft] def run(conn: java.sql.Connection, sql: String,
+      timeoutSec: Int,
+      maxRows: Int = SqlExecutor.MaxHashRows): (Boolean, String) = {
     val st = conn.createStatement()
     try {
       st.setQueryTimeout(timeoutSec)
@@ -135,6 +146,12 @@ object JdbcSqlBackend {
       val n = rs.getMetaData.getColumnCount
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       while (rs.next()) {
+        // Same result-row ceiling as the driver-side path
+        // (SqlExecutor.MaxHashRows), same tri-state verdict: the encodings
+        // buffer is per-TASK executor memory, and the statements are
+        // data-dependent SQL text — one `SELECT * FROM <factTable>` must
+        // produce a REFUSED (ok, null-hash) verdict, not an executor OOM.
+        if (buf.length >= maxRows) return (true, null)
         val sb = new StringBuilder
         var i = 1
         while (i <= n) {
@@ -158,7 +175,8 @@ object JdbcSqlBackend {
   * statement count is capped by construction (the reference caps synthesis
   * via generate_num the same way). */
 final case class SparkSessionBackend(maxDistinct: Int = 100000,
-    maxWorkers: Int = 16) extends SqlBackend {
+    maxWorkers: Int = 16,
+    maxHashRows: Int = SqlExecutor.MaxHashRows) extends SqlBackend {
   def execute(distinct: DataFrame, sqlKey: String, timeoutSec: Int): DataFrame = {
     val spark = distinct.sparkSession
     val stmts = distinct.select(sqlKey).limit(maxDistinct + 1)
@@ -187,9 +205,27 @@ final case class SparkSessionBackend(maxDistinct: Int = 100000,
         def call(): (String, Boolean, String) =
           // the sweep already tried (and failed) the fold for q —
           // don't repeat its analysis in the pooled task
-          SqlExecutor.hashedImpl(spark, q, timeoutSec, tryFoldFirst = false) match {
+          try SqlExecutor.hashedImpl(spark, q, timeoutSec,
+            tryFoldFirst = false, maxRows = maxHashRows) match {
             case Some(h) => (q, true, h)
             case None    => (q, false, null)
+          } catch {
+            // Per-statement REFUSED verdict (ok=true, hash=null): the
+            // statement executed fine — only its result was too large to
+            // fingerprint on the driver. Letting the typed exception
+            // escape here would surface from invokeAll(...).get() as an
+            // opaque ExecutionException and zero the WHOLE batch — one
+            // synthesized `SELECT * FROM <factTable>` in a 500-statement
+            // classify must degrade that one statement, not the run.
+            // The tri-state is schema-free: ok ∧ hash = fingerprinted,
+            // ¬ok = failed execution, ok ∧ null = ran but unfingerprinted
+            // — hash consumers (execution-compare) see null ≠ anything,
+            // so a refused statement can never count as agreement, while
+            // execution filters still correctly keep it.
+            case e: SqlExecutor.ResultCapExceededException =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"refusing to fingerprint one statement: ${e.getMessage}")
+              (q, true, null)
           }
       }
     }

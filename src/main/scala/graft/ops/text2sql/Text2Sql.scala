@@ -455,7 +455,11 @@ object SqlExecutor {
   /** Thrown (NOT swallowed into the None error-verdict) when a statement's
     * result exceeds [[MaxHashRows]]: an over-cap result is a refused
     * measurement, not a failed statement — silently classifying it as an
-    * execution error would corrupt the compare. */
+    * execution error would corrupt the compare. [[SparkSessionBackend]]
+    * catches it PER STATEMENT and emits the refused verdict
+    * `(__ok = true, __hash = null)` (see the [[SqlBackend]] tri-state
+    * contract), so one over-cap statement in a batch degrades only
+    * itself; direct callers of [[hashed]] still see the typed throw. */
   final class ResultCapExceededException(msg: String)
     extends RuntimeException(msg)
 
