@@ -142,7 +142,49 @@ object kernels {
     * (never a candidate). */
   def minhashBandKeys(hs: Seq[Long], numPerm: Int, bands: Int): Array[String] = {
     if (hs == null || hs.isEmpty) return Array.empty[String]
+    val sig = minhashSig(hs, numPerm)
     val rb = numPerm / bands
+    Array.tabulate(bands)(bi =>
+      bi + ":" + java.util.Arrays.hashCode(
+        java.util.Arrays.copyOfRange(sig, bi * rb, (bi + 1) * rb)))
+  }
+
+  /** Packed variant of [[minhashBandKeys]] for the internal dedup hot
+    * path: the SAME (band, Arrays.hashCode-of-band-slice) pair, packed
+    * `(band << 32) | (hash & 0xffffffff)` into one long instead of a
+    * "band:hash" string. Key equality is preserved exactly (band < 2³¹
+    * and a 32-bit hash make the packing injective), so grouping/joining
+    * on packed keys reproduces the string keys' candidate sets
+    * bit-for-bit — while a banded row carries 8 fixed bytes instead of a
+    * ~14-char string, and the corpus-sized band-key stage allocates one
+    * long[] per row instead of `bands` strings + a copyOfRange each (an
+    * 8 GiB/32-thread ×1000 probe died of GC-overhead building exactly
+    * this stage's DISK_ONLY cache). The string form stays as the
+    * SQL-registered `minhash_bands` surface. */
+  def minhashBandKeysPacked(hs: Seq[Long], numPerm: Int, bands: Int): Array[Long] = {
+    if (hs == null || hs.isEmpty) return Array.empty[Long]
+    val sig = minhashSig(hs, numPerm)
+    val rb = numPerm / bands
+    val out = new Array[Long](bands)
+    var bi = 0
+    while (bi < bands) {
+      // replicate java.util.Arrays.hashCode(long[]) over the band's
+      // slice without materializing the copy
+      var h = 1
+      var k = bi * rb
+      val end = (bi + 1) * rb
+      while (k < end) { val e = sig(k); h = 31 * h + (e ^ (e >>> 32)).toInt; k += 1 }
+      out(bi) = (bi.toLong << 32) | (h.toLong & 0xffffffffL)
+      bi += 1
+    }
+    out
+  }
+
+  /** numPerm-permutation minhash signature over the 64-bit shingle set
+    * (low 32 bits of each shingle feed the universal-hash family —
+    * unchanged from the original in-line form so band keys are stable
+    * across the string/packed split). */
+  private def minhashSig(hs: Seq[Long], numPerm: Int): Array[Long] = {
     val m = hs.length
     val arr = new Array[Long](m)
     var j = 0
@@ -160,9 +202,7 @@ object kernels {
       }
       sig(i) = mn; i += 1
     }
-    Array.tabulate(bands)(bi =>
-      bi + ":" + java.util.Arrays.hashCode(
-        java.util.Arrays.copyOfRange(sig, bi * rb, (bi + 1) * rb)))
+    sig
   }
 
   // ── Random-hyperplane LSH ──────────────────────────────────────────────

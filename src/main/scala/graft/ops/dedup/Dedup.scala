@@ -110,10 +110,19 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     udf { ws: Seq[String] => graft.functions.kernels.shingleHashes(ws, nn) }
   }
 
-  /** Band bucket keys from the hashed shingle set (LSH pruning only). */
+  /** Band bucket keys from the hashed shingle set (LSH pruning only) —
+    * the PACKED long form ([[graft.functions.kernels.minhashBandKeysPacked]]):
+    * identical grouping to the SQL-surface "band:hash" strings (the
+    * packing is injective), but the corpus-sized band-key stage
+    * allocates one long[] per row instead of `bands` strings + a
+    * copyOfRange each, and every banded row / band SMJ sort key carries
+    * 8 fixed bytes instead of a ~14-char string. The 8 GiB/32-thread
+    * ×1000 heap probe died of GC-overhead in exactly this stage's
+    * DISK_ONLY cache build (band-key UDF churn feeding the columnar
+    * serializer); packed keys cut that stage's allocation ~8×. */
   private val bandKeys = {
     val (np, nb) = (numPerm, bands)
-    udf { hs: Seq[Long] => graft.functions.kernels.minhashBandKeys(hs, np, nb) }
+    udf { hs: Seq[Long] => graft.functions.kernels.minhashBandKeysPacked(hs, np, nb) }
   }
 
   /** Exact Jaccard over two SORTED long arrays — a codegen'd in-place
@@ -135,9 +144,24 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     // near the GC ceiling — a ×1000 (5M-doc, 378M-shingle) probe on an
     // 8 GiB / 32-thread JVM died of GC-overhead-limit in exactly that
     // stage. At small SF the OS page cache serves the re-reads at memory
-    // speed anyway, so DISK_ONLY costs nothing locally. (The stage is
-    // heap-hungry even so: the same probe needs ≥ ~500 MB heap per
-    // executor thread — see BASELINE.md round 9.)
+    // speed anyway, so DISK_ONLY costs nothing locally.
+    //
+    // EXECUTOR SIZING (round-11 probe matrix, ×1000 = 5M docs / 378M
+    // shingles, ParallelGC): the stage's live set is the UNIFIED-POOL
+    // sort pages of the identical-set window (the pool fills to its
+    // cap, ~0.6×heap by default, before spilling) PLUS ~85 MB per
+    // executor thread of UNTRACKED allocations (DISK_ONLY columnar
+    // batch builders, shuffle fetch buffers, window-partition row
+    // copies). GC-overhead death when live exceeds ~90% of heap, i.e.
+    //   heap ≳ 3.3 × threads × 85 MB   (at default memory fraction)
+    // Measured: 8 GiB/32t dies (live 7.3/7.8 GB, 99 back-to-back full
+    // GCs); 12 GiB/32t and 16 GiB/32t complete; 8 GiB/32t ALSO
+    // completes with spark.memory.fraction=0.35 (pool capped at
+    // 2.6 GB → live ~5.4 GB — the escape hatch for heap-starved
+    // executors, at the price of extra window-sort spill I/O). The
+    // old "≥500 MB/thread" rule from round 9 was a coincidence of the
+    // two probed points; the pool term does not scale with threads.
+    // Per-thread overhead grows with document shingle count (~75 here).
     val withSh = shingled(df)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {

@@ -131,4 +131,33 @@ class R11Spec extends AnyFunSuite {
       assert(!okErr && hErr == null)                  // failed
     } finally conn.close()
   }
+
+  // ── packed band keys: the internal dedup path's long keys must group
+  //    EXACTLY like the SQL-surface "band:hash" strings (the ×1000 heap
+  //    probe died in the band-key stage's string churn; packing is the
+  //    fix, and it must not move a single bucket) ───────────────────────
+
+  test("minhashBandKeysPacked packs exactly the string kernel's (band, hash)") {
+    import graft.functions.kernels
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a completely different document with other words entirely here",
+      "the quick brown fox jumps over the lazy dog again and again", // clone
+      "", "one two")
+    for (d <- docs; (np, nb) <- Seq((128, 16), (128, 32), (64, 8))) {
+      val ws = d.split("\\s+").toSeq.filter(_.nonEmpty)
+      val hs = kernels.shingleHashes(ws, 3).toSeq
+      val str = kernels.minhashBandKeys(hs, np, nb)
+      val packed = kernels.minhashBandKeysPacked(hs, np, nb)
+      assert(packed.length == str.length)
+      str.zip(packed).foreach { case (s, p) =>
+        val Array(band, hash) = s.split(":", 2)
+        assert((p >>> 32) == band.toLong, s"band of $s vs $p")
+        assert((p & 0xffffffffL) == (hash.toInt.toLong & 0xffffffffL),
+          s"hash of $s vs $p")
+      }
+      // injectivity both ways on this sample: distinct strings ⇔ distinct longs
+      assert(str.distinct.length == packed.distinct.length)
+    }
+  }
 }

@@ -34,8 +34,12 @@ class R4Spec extends AnyFunSuite {
       "counted" -> ((s, _) => { R4Spec.passCounter.incrementAndGet(); s.range(5).toDF("id") }))
     val out = Bench.runQueries(spark, sf, queries.toSeq).toMap
     assert(out("counted").error.isEmpty)
-    // default = 3 (1 discarded warmup + min of 2 measured)
-    assert(R4Spec.passCounter.get() == 3)
+    // default = 3 (1 discarded warmup + min of 2 measured), plus any
+    // legitimate noise re-measures the harness performed — on a
+    // co-loaded machine the two measured passes of a microsecond query
+    // can genuinely disagree >1.3x, and asserting a bare 3 made this
+    // test fail exactly when the retry logic was doing its job
+    assert(R4Spec.passCounter.get() == 3 + out("counted").retried)
     // the two measured passes yield a max/min noise ratio ≥ 1
     assert(out("counted").spread >= 1.0)
     R4Spec.passCounter.set(0)
