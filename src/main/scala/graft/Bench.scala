@@ -38,6 +38,55 @@ object Bench {
   private def processCpuNanos(): Long =
     osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
+  /** Busy jiffies from a `/proc/stat` aggregate "cpu " line: user + nice
+    * + system + irq + softirq + steal (idle and iowait excluded — iowait
+    * is idle-with-pending-IO, not compute). None when the line isn't the
+    * aggregate cpu line (non-Linux, or a malformed read). */
+  private[graft] def busyJiffies(statLine: String): Option[Long] = {
+    val t = statLine.trim.split("\\s+")
+    if (t.length < 8 || t(0) != "cpu") None
+    else try {
+      val f = t.drop(1).map(_.toLong)
+      Some(f(0) + f(1) + f(2) + f(5) + f(6) + f(7)) // skip idle f(3), iowait f(4)
+    } catch { case _: NumberFormatException => None }
+  }
+
+  private def readBusyJiffies(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().nextOption().flatMap(busyJiffies)
+      finally src.close()
+    } catch { case _: Exception => None }
+
+  private def loadAvg1(): Option[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().nextOption().map(_.split("\\s+")(0).toDouble)
+      finally src.close()
+    } catch { case _: Exception => None }
+
+  /** Average CPU cores consumed by OTHER processes during the run:
+    * machine-wide busy CPU seconds (jiffies at USER_HZ=100 — the
+    * universal Linux value; `getconf CLK_TCK` on this box concurs)
+    * minus this JVM's process-CPU seconds, over the run's wall span.
+    * This is the signal the round-11 artifact lacked: a STEADY co-load
+    * inflates every pass equally, so the pass-to-pass `pass_noise`
+    * tripwire (spread-based) cannot see it — r11's recorded bench ran
+    * under a 29-core campaign JVM and self-certified p90=1.184 "clean".
+    * External CPU is absolute, not differential: that run would have
+    * read ~26-29 external cores against a quiet-machine floor of
+    * well under 0.5. */
+  private[graft] def externalCores(busyDeltaJiffies: Long, jvmCpuSec: Double,
+      wallSec: Double, hz: Double = 100.0): Double =
+    if (wallSec <= 0) 0.0
+    else math.max(0.0, busyDeltaJiffies / hz - jvmCpuSec) / wallSec
+
+  /** Sustained external load above this many cores marks the run
+    * untrendable. Quiet-machine background (kernel threads, the round
+    * driver's poller) measures well under 0.5 cores over a multi-minute
+    * run; any concurrent JVM/compile job blows past 1.5 immediately. */
+  private[graft] val MaxExternalCores = 1.5
+
   /** Measure each query.
     *
     * Methodology (round 6 — the recorded mode): `passes` total runs per
@@ -147,7 +196,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.toSeq.filter(kv => names(kv._1))
       case None        => SparkEntry.queries.toSeq
     }
+    // machine-quietness span brackets the ENTIRE measurement loop (the
+    // co-load that matters is co-load during any timed pass)
+    val busy0 = readBusyJiffies()
+    val jvmCpu0 = processCpuNanos()
+    val runWall0 = System.nanoTime()
     val measured = runQueries(spark, sfDir, selected, passes, isolate)
+    val runWallSec = (System.nanoTime() - runWall0) / 1e9
+    val extCores: Option[Double] = for {
+      b0 <- busy0; b1 <- readBusyJiffies()
+      if jvmCpu0 >= 0
+    } yield externalCores(b1 - b0, (processCpuNanos() - jvmCpu0) / 1e9, runWallSec)
     val results = measured.collect { case (n, Result(s, _, None, _, _)) => n -> s }.toMap
     val spreads = measured.collect { case (n, Result(_, sp, None, _, _)) => n -> sp }
     val errors = measured.collect { case (n, Result(_, _, Some(e), _, _)) => n -> e }
@@ -215,9 +274,25 @@ object Bench {
     // is flagged untrendable IN the artifact of record: a co-loaded
     // machine can still inflate the total, but it can no longer do so
     // silently — any consumer trending totals must skip flagged runs.
-    val untrendable = noiseP90.exists(_ > 1.2)
-    val untrendableField = if (untrendable) "\"untrendable\":true," else ""
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","mode":"$mode","passes":$passes,"stat":"$stat",$untrendableField"nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
+    // Round 12 adds the second, independent gate the r11 artifact
+    // proved necessary: pass_noise only sees pass-to-pass SPREAD, so a
+    // STEADY external load (r11: a 29-core campaign JVM for the whole
+    // bench) inflates every pass equally and sails through. External
+    // CPU — machine busy minus this JVM — is absolute and catches it.
+    val noisy = noiseP90.exists(_ > 1.2)
+    val coLoaded = extCores.exists(_ > MaxExternalCores)
+    val untrendable = noisy || coLoaded
+    val reason = Seq(if (noisy) Some("pass_noise") else None,
+      if (coLoaded) Some("co_load") else None).flatten.mkString("+")
+    val untrendableField =
+      if (untrendable) s""""untrendable":true,"untrendable_reason":"$reason","""
+      else ""
+    // machine-state evidence rides the artifact unconditionally, so a
+    // clean run proves it was clean and a dirty one names its thief
+    val machineField =
+      extCores.map(e => s""""ext_cpu_cores":${f"$e%.2f"},""").getOrElse("") +
+      loadAvg1().map(l => s""""loadavg1":${f"$l%.2f"},""").getOrElse("")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","mode":"$mode","passes":$passes,"stat":"$stat",$untrendableField$machineField"nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // failure-honest: any query that threw makes the bench itself red
     if (errors.nonEmpty) sys.exit(1)

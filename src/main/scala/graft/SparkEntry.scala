@@ -288,9 +288,38 @@ object SparkEntry {
       SimHashDeduplicateFilter("text", "doc_id", hammingK = 3)(t(s, dir, D))
         .select("doc_id", "n_chars")
     },
-    "dedup_kcenter" -> rowsOnly { (s, dir) =>
-      KCenterGreedyFilter("embedding", "vec_id", k = 100)(t(s, dir, "embeddings"))
-        .select("vec_id", "label")
+    // Full value oracle (round 12, closing the longest-standing
+    // no_oracle): greedy k-center is deterministic — seed at the
+    // smallest id, running min-dist, argmax ties toward the smallest
+    // id — so DuckDB replays the ENTIRE selection with a recursive CTE
+    // whose state is (step, per-point running min-dist); each step's
+    // argmax comes from a scalar subquery over the previous step's
+    // working table (DuckDB permits the second recursive reference).
+    // Distances use sqlSqDist's ascending left-to-right fold =
+    // Dedup.sqDist's loop, so argmax comparisons are bit-identical.
+    // Validity precondition, R12Spec-pinned: at verify scale every
+    // range partition holds ≤ k rows (500 ≤ 64×100 at sf0.01), so the
+    // operator's distributed pre-selection passes ALL rows to the
+    // driver greedy and the full-corpus replay is exact.
+    "dedup_kcenter" -> oracled(
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sel AS (
+         |  SELECT 1 AS step, p.id, p.e,
+         |    ${sqlSqDist("p.e", "c.e", 64)} AS mindist, c.id AS chosen_id
+         |  FROM pts p, (SELECT id, e FROM pts ORDER BY id LIMIT 1) c
+         |  UNION ALL
+         |  SELECT s.step + 1, s.id, s.e,
+         |    least(s.mindist, ${sqlSqDist("s.e", "nx.e", 64)}) AS mindist,
+         |    nx.id AS chosen_id
+         |  FROM sel s,
+         |    (SELECT id, e FROM sel ORDER BY mindist DESC, id LIMIT 1) nx
+         |  WHERE s.step < 100)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |JOIN (SELECT DISTINCT chosen_id FROM sel) c ON c.chosen_id = e.vec_id""".stripMargin) {
+      (s, dir) =>
+        KCenterGreedyFilter("embedding", "vec_id", k = 100)(t(s, dir, "embeddings"))
+          .select("vec_id", "label")
     })
 
   /** DuckDB word n-grams (matches text.wordNgrams). */
@@ -963,6 +992,14 @@ object SparkEntry {
   private def sqlDot(a: String, b: String, dim: Int): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, " +
       s"list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  /** DuckDB twin of `Dedup.sqDist`: Σ (a_i − b_i)², folded left-to-right
+    * in ascending index order — the same IEEE summation order as the
+    * Scala loop, so the doubles (and therefore every greedy argmax
+    * comparison built on them) are bit-identical. */
+  private def sqlSqDist(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
 
   /** DuckDB twin of `kernels.lshBuckets` / `cosine_lsh_buckets`: CTEs
     * `wt` (±1 plane weights from md5-nibble parity, one ORDERED list per

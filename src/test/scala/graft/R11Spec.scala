@@ -144,6 +144,7 @@ class R11Spec extends AnyFunSuite {
       "a completely different document with other words entirely here",
       "the quick brown fox jumps over the lazy dog again and again", // clone
       "", "one two")
+    val pooled = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     for (d <- docs; (np, nb) <- Seq((128, 16), (128, 32), (64, 8))) {
       val ws = d.split("\\s+").toSeq.filter(_.nonEmpty)
       val hs = kernels.shingleHashes(ws, 3).toSeq
@@ -155,9 +156,18 @@ class R11Spec extends AnyFunSuite {
         assert((p >>> 32) == band.toLong, s"band of $s vs $p")
         assert((p & 0xffffffffL) == (hash.toInt.toLong & 0xffffffffL),
           s"hash of $s vs $p")
+        pooled += ((s, p))
       }
-      // injectivity both ways on this sample: distinct strings ⇔ distinct longs
-      assert(str.distinct.length == packed.distinct.length)
     }
+    // the string→packed mapping must be a bijection over the POOLED set
+    // (across docs and parameterizations — within one doc every key has a
+    // distinct band prefix, so a per-doc distinct-count check is vacuous):
+    // one packed value per string, and distinct strings → distinct longs
+    val byStr = pooled.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(byStr.values.forall(_.size == 1), "a string mapped to 2+ longs")
+    assert(byStr.size == pooled.map(_._2).distinct.size,
+      "distinct strings collided in packed space")
+    // and the pool genuinely exercises cross-doc collisions (the clone doc)
+    assert(byStr.size < pooled.size)
   }
 }
