@@ -10,9 +10,10 @@ checks, GC AB tests, in-session vs standalone validation, and scale runs
 threshold argument should be e.g. 15 to flag super-linear queries).
 
 An input whose total line carries "untrendable":true (the bench's own
-noise flag: post-retry pass-noise p90 > 1.2) is REFUSED — comparing a
-co-loaded run defeats the flag's whole purpose. --force overrides, with
-a loud annotation.
+gates: post-retry pass-noise p90 > 1.2, or — since r12 — sustained
+external CPU > 1.5 cores during the measurement loop) is REFUSED —
+comparing a co-loaded run defeats the flag's whole purpose. --force
+overrides, with a loud annotation.
 """
 import json
 import sys
@@ -25,7 +26,15 @@ def load(path):
             if '"metric":"all_queries"' in line:
                 queries = json.loads(line)["queries"]
             if '"metric":"total"' in line:
-                untrendable = bool(json.loads(line).get("untrendable"))
+                tot = json.loads(line)
+                untrendable = bool(tot.get("untrendable"))
+                # r12 machine-state evidence: print it so a clean compare
+                # also shows WHY the inputs are comparable
+                ext = tot.get("ext_cpu_cores")
+                if ext is not None:
+                    print(f"{path}: ext_cpu_cores={ext} "
+                          f"loadavg1={tot.get('loadavg1')} "
+                          f"reason={tot.get('untrendable_reason', '-')}")
     if queries is None:
         raise SystemExit(f"no all_queries line in {path}")
     return queries, untrendable
@@ -38,8 +47,9 @@ def main():
     flagged_inputs = [p for p, u in ((argv[1], ua), (argv[2], ub)) if u]
     if flagged_inputs:
         msg = (f"untrendable input(s) {flagged_inputs}: the bench flagged "
-               f"these runs as noise-dominated (pass-noise p90 > 1.2 after "
-               f"retries) — per-query ratios would compare co-load, not code")
+               f"these runs (pass-noise p90 > 1.2 after retries, or external "
+               f"CPU > 1.5 cores) — per-query ratios would compare co-load, "
+               f"not code")
         if not force:
             raise SystemExit(f"REFUSED: {msg}. Re-run on a quiet machine or "
                              f"pass --force to compare anyway.")
