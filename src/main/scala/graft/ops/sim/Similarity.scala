@@ -211,6 +211,31 @@ object Similarity {
     math.min(24, math.max(8, needed))
   }
 
+  /** Partition count for [[similarityJoin]]'s enumerate stage (r12).
+    * The stage's task time is Σ C(bucket, 2) over the buckets a
+    * partition holds — quadratic per near-dup cluster — while its
+    * SHUFFLE BYTES are linear, so byte-driven machinery (AQE coalesce,
+    * AQE skew split at 5×-median/256 MB) mis-sizes it in both
+    * directions; the r11 ×1000 run measured the result: 23/32 tasks
+    * done at hour 7, a 9-task tail of ~60-cluster bundles (~325 CPU-s
+    * per cluster) pinning the stage to 9 cores for hours. Target ~512
+    * exploded source rows per partition — at autoBits occupancy that is
+    * a handful of buckets, so the tail is set by the largest single
+    * bucket, not by bundling variance — clamped to
+    * [spark.sql.shuffle.partitions, 8 × defaultParallelism] (floor:
+    * never plan COARSER than the session default; cap: bounded task
+    * count on small clusters while still 8× the slot count at any
+    * scale). local[32] examples: sf0.1 (2k vectors) → 32, unchanged;
+    * ×100 (200k) → 256; ×1000 (2M) → 256 (capped), a ~9× shorter tail
+    * than the measured 32-partition run. */
+  private[graft] def autoEnumPartitions(n: Long,
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val cap = math.max(base, 8 * spark.sparkContext.defaultParallelism)
+    val target = (n / 512L).toInt
+    math.min(cap, math.max(base, target))
+  }
+
   /** Cosine-similarity join: all pairs (a, b) with cos ≥ threshold, via
     * multi-table LSH buckets (candidates only, then exact check).
     * `bits = 0` (the DEFAULT — fixed widths are the measured scale trap:
@@ -248,12 +273,19 @@ object Similarity {
     * straight from the join. */
   def similarityJoin(df: DataFrame, embKey: String, idKey: String,
       threshold: Double, bits: Int = 0, dim: Int = 64,
-      tables: Int = 4, center: Boolean = false): DataFrame = {
+      tables: Int = 4, center: Boolean = false,
+      enumPartitions: Int = 0): DataFrame = {
     require(bits >= 0 && bits <= 63,
       s"bits must be in [0, 63] (Long bucket-code width), got $bits")
-    // bits = 0 → auto: one cheap count (ids only) sizes the key width so
-    // bucket occupancy stays ~constant as the corpus grows
-    val b = if (bits == 0) autoBits(df.select(col(idKey)).count()) else bits
+    // one cheap ids-only count feeds both auto knobs (key width, and the
+    // enumerate-stage partition count below)
+    lazy val corpusN = df.select(col(idKey)).count()
+    // bits = 0 → auto: sizes the key width so bucket occupancy stays
+    // ~constant as the corpus grows
+    val b = if (bits == 0) autoBits(corpusN) else bits
+    val enumParts =
+      if (enumPartitions > 0) enumPartitions
+      else autoEnumPartitions(corpusN, df.sparkSession)
     val offsets =
       if (center) CosineLsh.centerOffsets(df, embKey, b, dim, tables)
       else Array.empty[Double]
@@ -276,8 +308,24 @@ object Similarity {
     // duplicate (a,b) rows, with no dropDuplicates left downstream to
     // catch them.
     // merge hint: both sides are corpus-sized and carry the vector — a
-    // small static size estimate must never pick a corpus broadcast
-    l.join(r.hint("merge"), Seq("__bucket")).where(col("a") < col("b"))
+    // small static size estimate must never pick a corpus broadcast.
+    // Explicit fine repartition by bucket key (r12): the enumerate
+    // stage's work is QUADRATIC per bucket while its shuffle bytes are
+    // linear, so AQE can neither skew-split it (partition bytes sit far
+    // under the 256 MB threshold — the ×1000 run's stage held 2.3 GB
+    // across 32 partitions) nor be allowed to coalesce it (it would
+    // re-bundle by bytes). Measured at ×1000 (2 M vectors, ~2000
+    // near-dup clusters, 32 partitions): 23/32 tasks done at hour 7,
+    // then a 9-task straggler tail — each task a ~60-cluster bundle at
+    // ~325 CPU-s per cluster — pinning the stage to single-digit cores
+    // for hours. Finer bucket partitioning shrinks the tail to
+    // O(clusters-per-partition); both sides share one exchange
+    // (identical subtrees → ReusedExchange), so partition count is the
+    // only plan change. Pinning the count does opt this join out of
+    // AQE's skew reader, which never fired here anyway.
+    val lp = l.repartition(enumParts, col("__bucket"))
+    val rp = r.repartition(enumParts, col("__bucket"))
+    lp.join(rp.hint("merge"), Seq("__bucket")).where(col("a") < col("b"))
       .where(element_at(
         filter(col("__ba"), x => array_contains(col("__bb"), x)), 1)
         === col("__bucket"))

@@ -104,4 +104,41 @@ class R12Spec extends AnyFunSuite {
     val sf001n = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
     assert(sf001n <= 64L * 100, s"sf0.01 grew past the full-replay bound: $sf001n")
   }
+
+  // ── similarityJoin enumerate-stage partitioning: the ×1000 run's
+  //    straggler tail (9 ~60-cluster bundle tasks for hours) is a
+  //    work-vs-bytes mismatch AQE cannot fix; the explicit bucket
+  //    repartition must change the partition count and NOTHING else ──
+
+  test("similarityJoin enumPartitions pins the stage width, results unchanged") {
+    import graft.ops.sim.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val base = Similarity.similarityJoin(emb, "embedding", "vec_id", 0.4,
+      bits = 8, tables = 16)
+    val fine = Similarity.similarityJoin(emb, "embedding", "vec_id", 0.4,
+      bits = 8, tables = 16, enumPartitions = 7)
+    // explicit count is pinned end-to-end (user repartition: AQE must
+    // neither coalesce nor re-split it)
+    assert(fine.rdd.getNumPartitions == 7)
+    // identical pair sets — partitioning is a pure execution knob
+    assert(pairs(fine) == pairs(base))
+    assert(pairs(base).nonEmpty)
+  }
+
+  test("autoEnumPartitions: floor at session default, cap at 8x slots, monotone") {
+    import graft.ops.sim.Similarity.autoEnumPartitions
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val cap = math.max(base, 8 * spark.sparkContext.defaultParallelism)
+    // tiny corpus: never plan coarser than the session default
+    assert(autoEnumPartitions(2000, spark) == base)
+    // huge corpus: bounded by the slot-derived cap
+    assert(autoEnumPartitions(100_000_000L, spark) == cap)
+    // monotone non-decreasing in n across the range
+    val ns = Seq(0L, 2000L, 200000L, 2000000L, 100000000L)
+    val ps = ns.map(autoEnumPartitions(_, spark))
+    assert(ps == ps.sorted)
+    assert(ps.forall(p => p >= base && p <= cap))
+  }
 }
