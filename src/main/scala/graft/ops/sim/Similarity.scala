@@ -283,6 +283,12 @@ object Similarity {
     // bits = 0 → auto: sizes the key width so bucket occupancy stays
     // ~constant as the corpus grows
     val b = if (bits == 0) autoBits(corpusN) else bits
+    // NB: an explicit width BELOW the session's shuffle partitions is
+    // raised to it by Spark's distribution requirements (observed: 5 →
+    // session 8 in the planned exchanges; 13 stays 13). The auto path
+    // floors at the session value by construction, so only deliberate
+    // sub-base explicit values meet this — and coarser-than-base was
+    // never a sensible request for an enumerate stage.
     val enumParts =
       if (enumPartitions > 0) enumPartitions
       else autoEnumPartitions(corpusN, df.sparkSession)

@@ -125,6 +125,14 @@ class R12Spec extends AnyFunSuite {
     // identical pair sets — partitioning is a pure execution knob
     assert(pairs(fine) == pairs(base))
     assert(pairs(base).nonEmpty)
+    // one-shuffle property: both exploded sides canonicalize to the same
+    // subtree, so the FINAL adaptive plan must reuse a single exchange.
+    // Must collect `fine` ITSELF: pairs() ran a derived Dataset with its
+    // own QueryExecution, leaving fine's plan isFinalPlan=false
+    fine.collect()
+    val plan = fine.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
   }
 
   test("autoEnumPartitions: floor at session default, cap at 8x slots, monotone") {
