@@ -44,7 +44,10 @@ object Bench {
     * aggregate cpu line (non-Linux, or a malformed read). */
   private[graft] def busyJiffies(statLine: String): Option[Long] = {
     val t = statLine.trim.split("\\s+")
-    if (t.length < 8 || t(0) != "cpu") None
+    // 9 tokens = "cpu" + 8 fields through steal (f(7)); a 7-field line
+    // (no steal column) must return None, not throw — a swallowed throw
+    // would silently disable the co-load gate
+    if (t.length < 9 || t(0) != "cpu") None
     else try {
       val f = t.drop(1).map(_.toLong)
       Some(f(0) + f(1) + f(2) + f(5) + f(6) + f(7)) // skip idle f(3), iowait f(4)

@@ -15,6 +15,13 @@ object Verify {
     // only — the driver's recorded verify always dumps everything)
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly, not silently select zero queries
+    // and leave a stale outDir for check_oracle to "mismatch" against
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_VERIFY_ONLY names not in the registry: ${unknown.mkString(",")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries

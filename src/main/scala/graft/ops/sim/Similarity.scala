@@ -283,15 +283,24 @@ object Similarity {
     // bits = 0 → auto: sizes the key width so bucket occupancy stays
     // ~constant as the corpus grows
     val b = if (bits == 0) autoBits(corpusN) else bits
+    // enumPartitions: > 0 = exact width; 0 (default) = auto from the
+    // corpus count (the same ids-only count autoBits uses — note this
+    // means explicit-bits callers also pay one count job; a caller
+    // whose input lineage is expensive and uncached can pass -1);
+    // -1 = inherit the session's join planning (no repartition, no
+    // count — the pre-r12 plan shape).
     // NB: an explicit width BELOW the session's shuffle partitions is
     // raised to it by Spark's distribution requirements (observed: 5 →
     // session 8 in the planned exchanges; 13 stays 13). The auto path
     // floors at the session value by construction, so only deliberate
     // sub-base explicit values meet this — and coarser-than-base was
     // never a sensible request for an enumerate stage.
-    val enumParts =
-      if (enumPartitions > 0) enumPartitions
-      else autoEnumPartitions(corpusN, df.sparkSession)
+    require(enumPartitions >= -1,
+      s"enumPartitions must be -1 (inherit), 0 (auto) or positive, got $enumPartitions")
+    val enumParts: Option[Int] =
+      if (enumPartitions > 0) Some(enumPartitions)
+      else if (enumPartitions == 0) Some(autoEnumPartitions(corpusN, df.sparkSession))
+      else None
     val offsets =
       if (center) CosineLsh.centerOffsets(df, embKey, b, dim, tables)
       else Array.empty[Double]
@@ -329,8 +338,8 @@ object Similarity {
     // (identical subtrees → ReusedExchange), so partition count is the
     // only plan change. Pinning the count does opt this join out of
     // AQE's skew reader, which never fired here anyway.
-    val lp = l.repartition(enumParts, col("__bucket"))
-    val rp = r.repartition(enumParts, col("__bucket"))
+    val lp = enumParts.map(n => l.repartition(n, col("__bucket"))).getOrElse(l)
+    val rp = enumParts.map(n => r.repartition(n, col("__bucket"))).getOrElse(r)
     lp.join(rp.hint("merge"), Seq("__bucket")).where(col("a") < col("b"))
       .where(element_at(
         filter(col("__ba"), x => array_contains(col("__bb"), x)), 1)

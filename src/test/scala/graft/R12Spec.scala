@@ -22,6 +22,11 @@ class R12Spec extends AnyFunSuite {
     assert(Bench.busyJiffies("intr 12345").isEmpty)
     assert(Bench.busyJiffies("cpu 10 20 xyz 40 50 60 70 80").isEmpty)
     assert(Bench.busyJiffies("cpu 10 20").isEmpty)
+    // the steal-less 7-field boundary: must be None, never a throw (a
+    // swallowed exception would silently disable the co-load gate)
+    assert(Bench.busyJiffies("cpu 10 20 30 40 50 60 70").isEmpty)
+    assert(Bench.busyJiffies("cpu 10 20 30 40 50 60 70 80").contains(
+      10L + 20 + 30 + 60 + 70 + 80))
   }
 
   test("busyJiffies reads this machine's real /proc/stat and is monotone") {
@@ -133,6 +138,18 @@ class R12Spec extends AnyFunSuite {
     val plan = fine.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"))
     assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
+    // -1 = inherit: the pre-r12 plan (no user repartition, no count job)
+    // with the identical pair set
+    val legacy = Similarity.similarityJoin(emb, "embedding", "vec_id", 0.4,
+      bits = 8, tables = 16, enumPartitions = -1)
+    assert(!legacy.queryExecution.optimizedPlan.toString
+      .contains("RepartitionByExpression"))
+    assert(pairs(legacy) == pairs(base))
+    // anything below -1 is a caller bug, not a silent auto fallback
+    intercept[IllegalArgumentException] {
+      Similarity.similarityJoin(emb, "embedding", "vec_id", 0.4,
+        bits = 8, enumPartitions = -2)
+    }
   }
 
   test("autoEnumPartitions: floor at session default, cap at 8x slots, monotone") {

@@ -14,11 +14,13 @@
 #                                   held by a live pid) — the recorded
 #                                   bench must never run inside one
 #
-# Detection is pgrep -af "^java" + a graft-main match on the SAME line.
-# Never `pkill -f <class>`: the round driver's CLI process contains the
-# class names in its prompt text and matches too (r11 lesson).
+# Detection is pgrep -af on a java-binary anchor (bare `java` OR an
+# absolute .../bin/java — sbt and wrappers launch the latter) + a
+# graft-main match on the SAME line. Never `pkill -f <class>`: the
+# round driver's CLI process contains the class names in its prompt
+# text and matches too (r11 lesson).
 set -u
-busy=$(pgrep -af "^java" | grep -E "graft\.[A-Za-z0-9.]+" || true)
+busy=$(pgrep -af "^([^ ]*/)?java " | grep -E "graft\.[A-Za-z0-9.]+" || true)
 if [ -n "$busy" ]; then
   echo "quiet_guard: REFUSING - graft JVM(s) alive:" >&2
   echo "$busy" | awk '{printf "  pid %s: %s\n", $1, $NF}' >&2

@@ -16,7 +16,19 @@ LOG=/tmp/r12_campaign.log
 say() { echo "[$(date +%T)] $*" | tee -a "$LOG"; }
 
 tools/quiet_guard.sh || { say "cell refused: machine not quiet"; exit 1; }
-echo $$ > /tmp/graft_campaign.lock
+# take the campaign lock ATOMICALLY (noclobber): two concurrent
+# campaigns must not overwrite each other's pid — the loser's EXIT trap
+# would delete the winner's lock and reopen the recorded-bench window
+if [ -f /tmp/graft_campaign.lock ]; then
+  oldpid=$(cat /tmp/graft_campaign.lock 2>/dev/null || echo "")
+  if [ -n "$oldpid" ] && kill -0 "$oldpid" 2>/dev/null; then
+    say "cell refused: campaign window already open (pid $oldpid)"; exit 1
+  fi
+  rm -f /tmp/graft_campaign.lock
+fi
+if ! (set -C; echo $$ > /tmp/graft_campaign.lock) 2>/dev/null; then
+  say "cell refused: lost the lock race"; exit 1
+fi
 trap 'rm -f /tmp/graft_campaign.lock' EXIT
 
 CELL="${1:?usage: r12_campaign.sh <cell>}"; shift
@@ -28,7 +40,11 @@ case "$CELL" in
     say "simjoin_x1000_retry start (timeout 8h)"
     SPARK_GRAFT_SF_DIR=/tmp/graft_x1000 RUN_MAIN_ERRF=/tmp/r12_simjoin.err \
       timeout 28800 tools/run_main.sh graft.dev.SimJoinAB 0 | tee -a "$LOG"
-    say "simjoin_x1000_retry rc=${PIPESTATUS[0]}"
+    rc=${PIPESTATUS[0]}
+    say "simjoin_x1000_retry rc=$rc"
+    # a timed-out or dead cell must fail the SCRIPT too — callers check
+    # $? to decide whether the one budgeted retry actually happened
+    exit "$rc"
     ;;
   *)
     say "unknown cell: $CELL"; exit 1
