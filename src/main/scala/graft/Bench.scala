@@ -28,6 +28,13 @@ object Bench {
   final case class Result(seconds: Double, spread: Double, error: Option[String],
       retried: Int = 0, cpuRatio: Double = -1.0)
 
+  /** Locale-fixed decimal formatting for the artifact's JSON: Scala's
+    * `f` interpolator uses the JVM default locale, so a comma-decimal default
+    * (e.g. de_DE) would emit `0,40` and break every JSON consumer.
+    * All emitted numbers go through here. */
+  private[graft] def jnum(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   /** Process-CPU clock (ns across all JVM threads, GC included); -1 when
     * the platform bean doesn't expose it (never on HotSpot). */
   private val osBean =
@@ -199,6 +206,29 @@ object Bench {
       case Some(names) => SparkEntry.queries.toSeq.filter(kv => names(kv._1))
       case None        => SparkEntry.queries.toSeq
     }
+    // Day-calibration probe (r12 verdict #3): every recorded artifact
+    // carries its own machine-day figure — the ×20 amortized chain
+    // rows/s, trended against the r7/r11/r12 pins (208k / 236.7k /
+    // 206.8k) — so a cross-round wall comparison can be day-adjusted
+    // from the artifact alone. ALWAYS probed at the fixed sf0.1 dir
+    // (never the bench's own SF: calibration must be the same workload
+    // every time, and a ×1000 bench would otherwise build a 100M-row
+    // probe replica). Runs BEFORE the quietness bracket so its CPU
+    // never counts against the measured loop. SPARK_GRAFT_CALIBRATE=0
+    // skips it (smoke runs).
+    val chainRps: Option[Long] =
+      if (sys.env.get("SPARK_GRAFT_CALIBRATE").contains("0")) None
+      else try {
+        val calDir = sys.env.getOrElse("SPARK_GRAFT_CALIBRATE_DIR",
+          "/root/testdata/sf0.1")
+        val (_, rps) = ThroughputBench.x20RowsPerSec(spark, calDir)
+        spark.catalog.clearCache()
+        Some(rps)
+      } catch {
+        case e: Throwable =>
+          println(s"""{"metric":"calibrate_error","error":"${String.valueOf(e.getMessage).take(80).replace("\"", "'")}"}""")
+          None
+      }
     // machine-quietness span brackets the ENTIRE measurement loop (the
     // co-load that matters is co-load during any timed pass)
     val busy0 = readBusyJiffies()
@@ -221,7 +251,7 @@ object Bench {
     // metric line must stay well under that: report every query's time
     // in a separate (truncation-tolerant) line, and keep the one parsed
     // JSON line to the headline subset.
-    val qsAll = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    val qsAll = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v, 3) }
       .mkString("{", ",", "}")
     // cpu_ratio rides the same line (it describes the same reported
     // passes) as a sibling key, so bench_compare's `queries` parse is
@@ -229,7 +259,7 @@ object Bench {
     // co-load steals wall but not this JVM's cpu, so an inflated query
     // whose ratio dropped proportionally is machine-readably stolen
     // time, not code (see Result.cpuRatio).
-    val crAll = cpuRatios.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+    val crAll = cpuRatios.map { case (k, v) => s"\"" + k + "\":" + jnum(v, 2) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"all_queries","queries":$qsAll,"cpu_ratio":$crAll}""")
     // In-run noise estimate from each query's two BEST measured passes
@@ -250,8 +280,8 @@ object Bench {
         val med = sorted(sorted.size / 2)
         val p90 = sorted(math.min(sorted.size - 1, (sorted.size * 9) / 10))
         val worst = ratios.take(5).map { case (n, sp) =>
-          s"\"" + n + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
-        println(s"""{"metric":"pass_noise","median":${f"$med%.3f"},"p90":${f"$p90%.3f"},"nqueries":${ratios.size},"retried":$retriedCount,"worst":$worst}""")
+          s"\"" + n + "\":" + jnum(sp, 2) }.mkString("{", ",", "}")
+        println(s"""{"metric":"pass_noise","median":${jnum(med, 3)},"p90":${jnum(p90, 3)},"nqueries":${ratios.size},"retried":$retriedCount,"worst":$worst}""")
         Some(p90)
       } else None
     errors.foreach { case (n, e) =>
@@ -267,7 +297,7 @@ object Bench {
       "t2s_execution", "t2s_exec_classify", "text_quality_score",
       "text_fingerprint")
     val qs = headline.flatMap(k => results.get(k).map(v =>
-      s"\"" + k + "\":" + f"$v%.3f")).mkString("{", ",", "}")
+      s"\"" + k + "\":" + jnum(v, 3))).mkString("{", ",", "}")
     // methodology markers ("mode","passes","stat") — rounds 1-3: single
     // cold pass; round 4: last-of-two; round 5: min-of-two; round 6+:
     // isolated warmup + min-of-two-measured — so cross-round totals are
@@ -293,9 +323,10 @@ object Bench {
     // machine-state evidence rides the artifact unconditionally, so a
     // clean run proves it was clean and a dirty one names its thief
     val machineField =
-      extCores.map(e => s""""ext_cpu_cores":${f"$e%.2f"},""").getOrElse("") +
-      loadAvg1().map(l => s""""loadavg1":${f"$l%.2f"},""").getOrElse("")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","mode":"$mode","passes":$passes,"stat":"$stat",$untrendableField$machineField"nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
+      extCores.map(e => s""""ext_cpu_cores":${jnum(e, 2)},""").getOrElse("") +
+      loadAvg1().map(l => s""""loadavg1":${jnum(l, 2)},""").getOrElse("") +
+      chainRps.map(r => s""""chain_rows_per_sec":$r,""").getOrElse("")
+    println(s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec","mode":"$mode","passes":$passes,"stat":"$stat",$untrendableField$machineField"nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // failure-honest: any query that threw makes the bench itself red
     if (errors.nonEmpty) sys.exit(1)

@@ -232,8 +232,10 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession): Int = {
     val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val cap = math.max(base, 8 * spark.sparkContext.defaultParallelism)
-    val target = (n / 512L).toInt
-    math.min(cap, math.max(base, target))
+    // clamp in Long BEFORE narrowing: (n / 512L).toInt overflows negative
+    // past n ≈ 1.1e12, and max(base, negative) would silently return the
+    // session base — the opposite of the intended scaling direction
+    math.min(cap.toLong, math.max(base.toLong, n / 512L)).toInt
   }
 
   /** Cosine-similarity join: all pairs (a, b) with cos ≥ threshold, via

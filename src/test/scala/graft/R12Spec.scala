@@ -105,9 +105,20 @@ class R12Spec extends AnyFunSuite {
     // the oracle's validity precondition at verify scale: the distributed
     // pre-selection must pass EVERY row through (each range partition
     // ≤ k rows), so the driver greedy sees the full corpus exactly like
-    // the SQL replay does. 500 rows at sf0.01 / 64 partitions ≈ 8 ≤ 100.
-    val sf001n = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").count()
-    assert(sf001n <= 64L * 100, s"sf0.01 grew past the full-replay bound: $sf001n")
+    // the SQL replay does. Asserted DIRECTLY on the operator's own
+    // partitioning (repartitionByRange is SAMPLE-based, so a total-count
+    // bound like n ≤ 64k guards a weaker invariant: near the bound a
+    // sampled split can still put > k rows in one partition — r12
+    // advice). preParts = min(64, 200000/100) = 64, the query's shape.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.col
+    val sf001 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("__id"))
+      .repartitionByRange(64, col("__id"))
+    val maxPart = sf001.mapPartitions(it => Iterator(it.size))(Encoders.scalaInt)
+      .collect().max
+    assert(maxPart <= 100,
+      s"sf0.01 range partition exceeds k=100 rows ($maxPart): full-replay oracle invalid")
   }
 
   // ── similarityJoin enumerate-stage partitioning: the ×1000 run's

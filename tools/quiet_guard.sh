@@ -27,12 +27,22 @@ if [ -n "$busy" ]; then
   exit 1
 fi
 if [ "${1:-}" = "--bench" ] && [ -f /tmp/graft_campaign.lock ]; then
+  # flock-held window (r13+): the kernel releases the lock on holder
+  # death, so there is no stale state and nothing to rm — the r12
+  # rm-then-recreate dance was itself a TOCTOU (two starters observing
+  # a dead pid could each rm, the second deleting the first's fresh
+  # lock). The probe acquires-and-releases; the real mutual exclusion
+  # is the caller (recorded_bench.sh) HOLDING the flock for its run.
+  if ! flock -n /tmp/graft_campaign.lock -c true 2>/dev/null; then
+    echo "quiet_guard: REFUSING - campaign window open (flock held)" >&2
+    exit 1
+  fi
+  # legacy pid-file window (r11/r12 campaign scripts): live pid = open
   pid=$(cat /tmp/graft_campaign.lock 2>/dev/null || echo "")
   if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
     echo "quiet_guard: REFUSING - campaign window open (lock pid $pid alive)" >&2
     exit 1
   fi
-  # stale lock (owner dead): clear it and proceed
-  rm -f /tmp/graft_campaign.lock
+  # stale pid-file (owner dead, flock free): proceed, never rm
 fi
 exit 0

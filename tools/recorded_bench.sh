@@ -9,6 +9,12 @@
 set -u
 cd "$(dirname "$0")/.."
 tools/quiet_guard.sh --bench || { echo "recorded_bench: refused" >&2; exit 1; }
+# Hold the campaign flock for the WHOLE bench (r12 advice: a probe that
+# checks-then-proceeds reopens the window between check and start; the
+# kernel releases this on exit, so no stale state, no rm, no race).
+exec 9>>/tmp/graft_campaign.lock
+flock -n 9 || { echo "recorded_bench: refused (campaign flock held)" >&2; exit 1; }
+echo $$ > /tmp/graft_campaign.lock   # diagnostics + legacy pid readers
 OUT="${1:-/dev/stdout}"
 echo "# loadavg before: $(cat /proc/loadavg)" >&2
 SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \

@@ -6,11 +6,14 @@
 #   tools/run_main.sh <mainClass> [args...]
 # Env: SPARK_DRIVER_MEM, SPARK_GRAFT_CPUS, SPARK_GRAFT_GC,
 #      SPARK_GRAFT_JAVA_OPTS, SPARK_GRAFT_SF_DIR (read by the mains),
-#      RUN_MAIN_ERRF (stderr file, default /tmp/run_main.err).
+#      RUN_MAIN_ERRF (stderr file, default /tmp/run_main.err),
+#      RUN_MAIN_CP (classes dir, default target/scala-2.13/classes —
+#      long-running attributed probes pass a FROZEN snapshot dir so a
+#      later sbt compile can't swap lazily-loaded classes mid-run).
 set -u
 cd "$(dirname "$0")/.."
 MAIN="$1"; shift
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+CP="${RUN_MAIN_CP:-target/scala-2.13/classes}:/opt/spark/jars/*"
 MEM="${SPARK_DRIVER_MEM:-8g}"
 GC="${SPARK_GRAFT_GC:-ParallelGC}"
 ERRF="${RUN_MAIN_ERRF:-/tmp/run_main.err}"
