@@ -69,11 +69,6 @@ object Similarity {
       maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
     require(bits >= 0 && bits <= 63,
       s"bits must be in [0, 63] (Long bucket-code width), got $bits")
-    val b = if (bits == 0)
-      autoBits(corpus.select(col(idKey)).count()) else bits
-    val c = corpus.select(col(idKey).as("neighbor_id"),
-      col(embKey).cast("array<double>").as("__ce"))
-      .withColumn("__bucket", explode(CosineLsh.buckets(col("__ce"), b, dim, tables)))
     val q0 = queries.select(col(idKey).as("query_id"),
       col(embKey).cast("array<double>").as("__qe"))
     // The broadcast below is the operator's contract — top-k for a SMALL
@@ -83,7 +78,24 @@ object Similarity {
     // the hint is gated on a cheap ids-only count: above the threshold we
     // fall back to a shuffle join (merge hint — both sides corpus-scale,
     // a static-estimate broadcast must not resurface) and say so loudly.
-    val qCount = q0.select(col("query_id")).count()
+    //
+    // ONE job feeds both auto knobs (r13): r11 ran the auto-bits corpus
+    // count and this gate count as two separate eager DataFrame counts,
+    // and the r10-vs-r12 same-day A/B measured them as the one real
+    // code regression in the cross-round drift — a DataFrame count()
+    // under AQE is itself 2 jobs (stage materialization + final), so
+    // every lshTopK call paid 4 scheduling floors at bench scale, and
+    // two corpus-side passes where one suffices at any scale. A tagged
+    // ids-only union counted in a single runJob fixes both; when `bits`
+    // is explicit the corpus side isn't scanned at all.
+    val qIds = q0.select(lit(1).as("__side"))
+    val (corpusN, qCount) = sideCounts(
+      if (bits == 0) corpus.select(lit(0).as("__side")).unionAll(qIds)
+      else qIds)
+    val b = if (bits == 0) autoBits(corpusN) else bits
+    val c = corpus.select(col(idKey).as("neighbor_id"),
+      col(embKey).cast("array<double>").as("__ce"))
+      .withColumn("__bucket", explode(CosineLsh.buckets(col("__ce"), b, dim, tables)))
     val q = q0
       .withColumn("__bucket", explode(CosineLsh.buckets(col("__qe"), b, dim, tables)))
     val qSide =
@@ -228,6 +240,25 @@ object Similarity {
     * scale). local[32] examples: sf0.1 (2k vectors) → 32, unchanged;
     * ×100 (200k) → 256; ×1000 (2M) → 256 (capped), a ~9× shorter tail
     * than the measured 32-partition run. */
+  /** Per-side row counts of a tagged ids-only plan (`__side` int column,
+    * 0 = corpus, 1 = queries) in exactly ONE Spark job. A DataFrame
+    * `count()` runs 2+ jobs under AQE (shuffle-stage materialization,
+    * then the final stage) — each job is a ~55 ms scheduling floor in
+    * local mode, which is the measurable cost of an auto-knob gate at
+    * bench scale. The plan here is a narrow projection (no exchange),
+    * so driving its RDD directly with one `runJob` is one pass, one
+    * job, no AQE staging. */
+  private def sideCounts(tagged: DataFrame): (Long, Long) = {
+    val rdd = tagged.queryExecution.toRdd
+    tagged.sparkSession.sparkContext
+      .runJob(rdd, (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var c0 = 0L; var c1 = 0L
+        it.foreach(r => if (r.getInt(0) == 0) c0 += 1 else c1 += 1)
+        (c0, c1)
+      })
+      .foldLeft((0L, 0L)) { case ((a0, a1), (b0, b1)) => (a0 + b0, a1 + b1) }
+  }
+
   private[graft] def autoEnumPartitions(n: Long,
       spark: org.apache.spark.sql.SparkSession): Int = {
     val base = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
@@ -280,8 +311,9 @@ object Similarity {
     require(bits >= 0 && bits <= 63,
       s"bits must be in [0, 63] (Long bucket-code width), got $bits")
     // one cheap ids-only count feeds both auto knobs (key width, and the
-    // enumerate-stage partition count below)
-    lazy val corpusN = df.select(col(idKey)).count()
+    // enumerate-stage partition count below) — via the single-job
+    // [[sideCounts]] pass (a DataFrame count() is 2 jobs under AQE)
+    lazy val corpusN = sideCounts(df.select(lit(0).as("__side")))._1
     // bits = 0 → auto: sizes the key width so bucket occupancy stays
     // ~constant as the corpus grows
     val b = if (bits == 0) autoBits(corpusN) else bits
