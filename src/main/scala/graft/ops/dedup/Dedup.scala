@@ -317,6 +317,25 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     * scratch ≈ single-pass footprint / groups; the result is EXACTLY the
     * single-pass result (bands partition into waves; every band bucket —
     * hence every candidate pair — lives wholly inside one wave). */
+  /** `localCheckpoint()` that reclaims the wave's own shuffles before
+    * rethrowing when the materializing job DIES mid-run (executor loss,
+    * disk-full, a poisoned row). Without this the failed wave's
+    * registered shuffle files are stranded until ContextCleaner's
+    * eventual GC path — scratch held on the next attempt's disk budget
+    * exactly when the machine is already in trouble (r12 verdict #7:
+    * the happy path of wave budgeting was pinned, the failure path was
+    * not). `created` is scoped to the wave's OWN executed-RDD lineage
+    * (see the caller), so a concurrent query's shuffles are never
+    * swept; the map stages that already completed wrote real files, so
+    * there is real scratch to reclaim even though the action failed. */
+  private[graft] def checkpointReclaimingOnFailure(idsDf: DataFrame,
+      sc: org.apache.spark.SparkContext, created: Set[Int]): DataFrame =
+    try idsDf.localCheckpoint()
+    catch { case t: Throwable =>
+      org.apache.spark.graftbridge.ShuffleCleanup.removeShuffles(sc, created)
+      throw t
+    }
+
   private[graft] def groupedDuplicateIds(withSh: DataFrame,
       groups: Int): DataFrame = {
     val sc = withSh.sparkSession.sparkContext
@@ -372,7 +391,7 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
         val created =
           org.apache.spark.graftbridge.ShuffleCleanup.lineageShuffleIds(
             idsDf.queryExecution.toRdd) -- before
-        val ids = idsDf.localCheckpoint() // eager
+        val ids = checkpointReclaimingOnFailure(idsDf, sc, created) // eager
         // Reclaim the wave's shuffle scratch NOW, synchronously: the
         // localCheckpoint above truncated the ids' lineage, so the
         // shuffles this wave created are unreachable by any plan.

@@ -15,22 +15,32 @@ object Vendi {
   def score(df: DataFrame, embKey: String, cap: Int = 128): Double = {
     val vecs = df.select(col(embKey).cast("array<double>")).limit(cap)
       .collect().map(_.getSeq[Double](0).toArray)
-    val n = vecs.length
-    if (n == 0) return 0.0
-    // normalized cosine kernel K/n
-    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
-    val k = Array.tabulate(n, n) { (i, j) =>
-      val dot = vecs(i).lazyZip(vecs(j)).map(_ * _).sum
-      dot / (norms(i) * norms(j)) / n
-    }
-    val eig = jacobiEigenvalues(k)
+    if (vecs.isEmpty) return 0.0
+    val eig = jacobiEigenvalues(kernel(vecs))
     // von Neumann entropy over positive eigenvalues
     val h = eig.filter(_ > 1e-12).map(l => -l * math.log(l)).sum
     math.exp(h)
   }
 
+  /** Normalized cosine kernel K/n. Exposed for the `agg_vendi_gram`
+    * seam oracle: entry (i,j) is BIT-IDENTICAL to the codegen'd
+    * [[graft.ops.sim.Similarity.cosine]] expression divided by n —
+    * both accumulate dot and squared norms in one ascending pass and
+    * divide by the product of the square roots, so the gram matrix a
+    * DuckDB left-fold oracle replays is exactly the matrix the Jacobi
+    * sweep consumes (the eigen spectrum itself stays non-replayable;
+    * R13Spec pins Jacobi against an independent eigensolver). */
+  private[graft] def kernel(vecs: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = vecs.length
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    Array.tabulate(n, n) { (i, j) =>
+      val dot = vecs(i).lazyZip(vecs(j)).map(_ * _).sum
+      dot / (norms(i) * norms(j)) / n
+    }
+  }
+
   /** Cyclic Jacobi for a symmetric matrix; returns eigenvalues. */
-  private[eval] def jacobiEigenvalues(m: Array[Array[Double]],
+  private[graft] def jacobiEigenvalues(m: Array[Array[Double]],
       sweeps: Int = 30, tol: Double = 1e-10): Array[Double] = {
     val n = m.length
     val a = m.map(_.clone())
