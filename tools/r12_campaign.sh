@@ -16,20 +16,15 @@ LOG=/tmp/r12_campaign.log
 say() { echo "[$(date +%T)] $*" | tee -a "$LOG"; }
 
 tools/quiet_guard.sh || { say "cell refused: machine not quiet"; exit 1; }
-# take the campaign lock ATOMICALLY (noclobber): two concurrent
-# campaigns must not overwrite each other's pid — the loser's EXIT trap
-# would delete the winner's lock and reopen the recorded-bench window
-if [ -f /tmp/graft_campaign.lock ]; then
-  oldpid=$(cat /tmp/graft_campaign.lock 2>/dev/null || echo "")
-  if [ -n "$oldpid" ] && kill -0 "$oldpid" 2>/dev/null; then
-    say "cell refused: campaign window already open (pid $oldpid)"; exit 1
-  fi
-  rm -f /tmp/graft_campaign.lock
-fi
-if ! (set -C; echo $$ > /tmp/graft_campaign.lock) 2>/dev/null; then
-  say "cell refused: lost the lock race"; exit 1
-fi
-trap 'rm -f /tmp/graft_campaign.lock' EXIT
+# Campaign window held with flock(2) on a persistent fd (r13 — the
+# earlier rm-then-noclobber dance was itself a TOCTOU: two starters
+# observing a dead-pid lock could each rm, the second deleting the
+# first's fresh lock, so both campaigns ran and the loser's EXIT trap
+# removed the winner's lock). The kernel releases the flock on process
+# death: no stale state, nothing to rm, no trap needed.
+exec 9>>/tmp/graft_campaign.lock
+flock -n 9 || { say "cell refused: campaign window already open (flock)"; exit 1; }
+echo $$ > /tmp/graft_campaign.lock   # diagnostics + legacy pid readers
 
 CELL="${1:?usage: r12_campaign.sh <cell>}"; shift
 case "$CELL" in
