@@ -215,9 +215,16 @@ object Bench {
     // every time, and a ×1000 bench would otherwise build a 100M-row
     // probe replica). Runs BEFORE the quietness bracket so its CPU
     // never counts against the measured loop. SPARK_GRAFT_CALIBRATE=0
-    // skips it (smoke runs).
+    // skips it (smoke runs), and a query-filtered run (SPARK_GRAFT_ONLY
+    // — the fresh-JVM single-query paths, standalone_bench.sh /
+    // run_query_debug.sh) skips it by default: those JVMs exist to
+    // measure ONE query in a clean room, and a probe that caches and
+    // times a 100k-row replica first changes the JVM/page-cache state
+    // every prior round's standalone numbers were taken without.
+    // SPARK_GRAFT_CALIBRATE=1 forces it back on for a filtered run.
     val chainRps: Option[Long] =
       if (sys.env.get("SPARK_GRAFT_CALIBRATE").contains("0")) None
+      else if (only.isDefined && !sys.env.get("SPARK_GRAFT_CALIBRATE").contains("1")) None
       else try {
         val calDir = sys.env.getOrElse("SPARK_GRAFT_CALIBRATE_DIR",
           "/root/testdata/sf0.1")
@@ -226,7 +233,13 @@ object Bench {
         Some(rps)
       } catch {
         case e: Throwable =>
-          println(s"""{"metric":"calibrate_error","error":"${String.valueOf(e.getMessage).take(80).replace("\"", "'")}"}""")
+          // same sanitation as query_error: quotes, backslashes, and
+          // control chars (Spark analysis messages are multi-line)
+          // would otherwise break the single-line JSON artifact
+          val msg = String.valueOf(e.getMessage).take(80)
+            .replace("\"", "'").replace("\\", "/")
+            .replaceAll("[\\x00-\\x1F]", " ")
+          println(s"""{"metric":"calibrate_error","error":"$msg"}""")
           None
       }
     // machine-quietness span brackets the ENTIRE measurement loop (the

@@ -30,7 +30,7 @@ object SimJoinAB {
         .count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(s"""{"metric":"simjoin_ab","bits":$bits,"center":$center,""" +
-        s""""pairs":$pairs,"sec":${f"$sec%.1f"},"sf":"$sfDir"}""")
+        s""""pairs":$pairs,"sec":${graft.Bench.jnum(sec, 1)},"sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -309,14 +309,6 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     dupsSmall.union(dupsBig)
   }
 
-  /** Bounded-scratch variant of [[duplicateIds]]: the 128-perm signature
-    * is computed ONCE into a per-doc band-key array, then the band set is
-    * processed in `groups` sequential waves, each wave's surviving dup
-    * ids eagerly materialized (localCheckpoint) so the previous wave's
-    * shuffle files can be reclaimed before the next wave shuffles. Peak
-    * scratch ≈ single-pass footprint / groups; the result is EXACTLY the
-    * single-pass result (bands partition into waves; every band bucket —
-    * hence every candidate pair — lives wholly inside one wave). */
   /** `localCheckpoint()` that reclaims the wave's own shuffles before
     * rethrowing when the materializing job DIES mid-run (executor loss,
     * disk-full, a poisoned row). Without this the failed wave's
@@ -336,6 +328,14 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       throw t
     }
 
+  /** Bounded-scratch variant of [[duplicateIds]]: the 128-perm signature
+    * is computed ONCE into a per-doc band-key array, then the band set is
+    * processed in `groups` sequential waves, each wave's surviving dup
+    * ids eagerly materialized (localCheckpoint) so the previous wave's
+    * shuffle files can be reclaimed before the next wave shuffles. Peak
+    * scratch ≈ single-pass footprint / groups; the result is EXACTLY the
+    * single-pass result (bands partition into waves; every band bucket —
+    * hence every candidate pair — lives wholly inside one wave). */
   private[graft] def groupedDuplicateIds(withSh: DataFrame,
       groups: Int): DataFrame = {
     val sc = withSh.sparkSession.sparkContext
