@@ -89,6 +89,20 @@ class R13Spec extends AnyFunSuite {
     assert(n == 0, s"the documented no-count escape hatch ran $n job(s)")
   }
 
+  // ── artifact JSON must be locale-proof (r12 advice) ──
+
+  test("jnum formats with Locale.ROOT regardless of the default locale") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.jnum(0.4, 2) == "0.40")
+      assert(Bench.jnum(58.893, 3) == "58.893")
+      // the trap jnum exists to avoid: the f interpolator is
+      // locale-sensitive, and a comma is invalid JSON here
+      assert(f"${0.4}%.2f" == "0,40")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   // ── wave failure path: scratch must not be stranded (r12 verdict #7) ──
 
   test("a failed wave job reclaims its own shuffle scratch before rethrowing") {

@@ -20,7 +20,7 @@ import sys
 
 
 def load(path):
-    queries, untrendable = None, False
+    queries, untrendable, cal = None, False, None
     with open(path) as f:
         for line in f:
             if '"metric":"all_queries"' in line:
@@ -28,22 +28,24 @@ def load(path):
             if '"metric":"total"' in line:
                 tot = json.loads(line)
                 untrendable = bool(tot.get("untrendable"))
+                cal = tot.get("chain_rows_per_sec")
                 # r12 machine-state evidence: print it so a clean compare
                 # also shows WHY the inputs are comparable
                 ext = tot.get("ext_cpu_cores")
                 if ext is not None:
                     print(f"{path}: ext_cpu_cores={ext} "
                           f"loadavg1={tot.get('loadavg1')} "
+                          f"chain_rows_per_sec={cal or '-'} "
                           f"reason={tot.get('untrendable_reason', '-')}")
     if queries is None:
         raise SystemExit(f"no all_queries line in {path}")
-    return queries, untrendable
+    return queries, untrendable, cal
 
 
 def main():
     force = "--force" in sys.argv
     argv = [a for a in sys.argv if a != "--force"]
-    (a, ua), (b, ub) = load(argv[1]), load(argv[2])
+    (a, ua, ca), (b, ub, cb) = load(argv[1]), load(argv[2])
     flagged_inputs = [p for p, u in ((argv[1], ua), (argv[2], ub)) if u]
     if flagged_inputs:
         msg = (f"untrendable input(s) {flagged_inputs}: the bench flagged "
@@ -67,6 +69,17 @@ def main():
     ta, tb = sum(a[k] for k in shared), sum(b[k] for k in shared)
     print(f"shared={len(shared)} totalA={ta:.2f}s totalB={tb:.2f}s "
           f"B/A={tb / ta:.3f}")
+    # r13: when both artifacts carry their own day calibration (the x20
+    # chain rows/s probed in-run), print the day-adjusted ratio too —
+    # this box's measured cross-day drift (up to ~±40%) swamps real code
+    # deltas, so the RAW cross-day B/A is not a code statement. The
+    # adjustment assumes wall scales ~1/throughput; it is a correction,
+    # not a substitute for a same-day A/B.
+    if ca and cb:
+        # B's day is slower when cb < ca → scale B's wall down by cb/ca
+        print(f"day calibration A={ca} B={cb} rows/s; "
+              f"day-adjusted B/A={(tb / ta) * (cb / ca):.3f} "
+              f"(raw {tb / ta:.3f} x day {cb / ca:.3f})")
     rows = sorted(((b[k] / max(a[k], 1e-9), k) for k in shared), reverse=True)
     flagged = [(r, k) for r, k in rows if r > thr]
     print(f"queries with B/A > {thr}: {len(flagged)}")
