@@ -319,12 +319,31 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     * not). `created` is scoped to the wave's OWN executed-RDD lineage
     * (see the caller), so a concurrent query's shuffles are never
     * swept; the map stages that already completed wrote real files, so
-    * there is real scratch to reclaim even though the action failed. */
+    * there is real scratch to reclaim even though the action failed.
+    *
+    * Coverage boundary (r14, stated honestly): this guards the
+    * CHECKPOINT action. A wave that instead dies during AQE stage
+    * materialization (inside the caller's `toRdd`, BEFORE `created` can
+    * be computed — the lineage walk needs the final RDD) leaves any
+    * earlier completed stages' files to ContextCleaner's eventual GC
+    * path: bounded-scratch degrades for that wave, it does not break,
+    * and a delta-scoped sweep there would re-open the concurrent-query
+    * deletion hazard lineage-scoping exists to close. R14Spec pins the
+    * map-stage-death case (nothing landed → reclamation is a no-op). */
   private[graft] def checkpointReclaimingOnFailure(idsDf: DataFrame,
-      sc: org.apache.spark.SparkContext, created: Set[Int]): DataFrame =
+      sc: org.apache.spark.SparkContext, created: Set[Int],
+      cleanup: (org.apache.spark.SparkContext, Set[Int]) => Unit =
+        org.apache.spark.graftbridge.ShuffleCleanup.removeShuffles): DataFrame =
     try idsDf.localCheckpoint()
     catch { case t: Throwable =>
-      org.apache.spark.graftbridge.ShuffleCleanup.removeShuffles(sc, created)
+      // The cleanup itself can plausibly fail under the SAME conditions
+      // that killed the checkpoint (executor loss, disk-full): never let
+      // its exception REPLACE the original failure — the caller needs
+      // the root cause, and the cleanup error rides along as suppressed.
+      // (`cleanup` is injectable for exactly that test; production
+      // callers always use the default ShuffleCleanup.removeShuffles.)
+      try cleanup(sc, created)
+      catch { case cleanupErr: Throwable => t.addSuppressed(cleanupErr) }
       throw t
     }
 
@@ -579,8 +598,11 @@ final case class SemDeduplicateFilter(embKey: String = "embedding",
     // silently costs RECALL (rows checked against the capped pool only) —
     // auto keeps buckets at the density the cap assumes. Floor 8 makes
     // small corpora identical to the old fixed default.
+    // oneJobCount: v is an exchange-free projection, so the auto-bits
+    // gate costs ONE job, not count()'s 2 AQE jobs (r13 sideCounts rule)
     val b = if (bits == 0 && mode == "lsh")
-      graft.ops.sim.Similarity.autoBits(v.count()) else bits
+      graft.ops.sim.Similarity.autoBits(
+        graft.ops.sim.Similarity.oneJobCount(v)) else bits
     val dups =
       if (mode == "exact") {
         val cos = Dedup.cosine(col("vi"), col("vj"))

@@ -20,6 +20,9 @@ object CorpusEvaluators {
     */
   def ciderUnigram(pairs: DataFrame, predKey: String, refKey: String,
       idKey: String, outputKey: String = "cider"): DataFrame = {
+    // priced cost: count() = 2 AQE jobs, kept deliberately — `pairs` may
+    // carry exchanges (the callers self-join), so the one-job toRdd path
+    // would forfeit AQE on a real plan to save two ~55 ms job floors
     val n = pairs.count().toDouble
     // ONE tagged explode+aggregate yields both tf vectors per (id, tok) —
     // replaces two separate exploded aggregates + a full-outer join
@@ -64,6 +67,8 @@ object CorpusEvaluators {
   def ciderD(pairs: DataFrame, predKey: String, refKey: String,
       idKey: String, outputKey: String = "cider_d",
       sigma: Double = 6.0): DataFrame = {
+    // priced cost: 2-job count() kept — same reasoning as ciderUnigram
+    // (pairs may shuffle; AQE matters more than two job floors here)
     val nDocs = pairs.count().toDouble
     val maxN = 4
     // Both sides' per-pair tf vectors stream out of ONE native Generator

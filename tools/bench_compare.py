@@ -14,6 +14,16 @@ gates: post-retry pass-noise p90 > 1.2, or — since r12 — sustained
 external CPU > 1.5 cores during the measurement loop) is REFUSED —
 comparing a co-loaded run defeats the flag's whole purpose. --force
 overrides, with a loud annotation.
+
+Day adjustment (r13/r14): when both artifacts carry their own in-run
+calibration (chain_rows_per_sec; since r14 also chain_rows_per_sec_post
+— the probe runs before AND after the measurement loop, so an artifact
+carries its own intra-run drift bracket), the per-query RATIO GATE is
+day-adjusted too: this box's measured cross-day drift (up to ~±40%)
+swamps real code deltas, so a raw cross-day per-query ratio is not a
+code statement. The r14 tripwire of record: a day-adjusted per-query
+ratio > 1.3 on the ×10 canary (BENCH_r*_x10) is a regression to
+explain, sf0.1 totals being scheduling-floor-bound for most queries.
 """
 import json
 import sys
@@ -28,14 +38,23 @@ def load(path):
             if '"metric":"total"' in line:
                 tot = json.loads(line)
                 untrendable = bool(tot.get("untrendable"))
-                cal = tot.get("chain_rows_per_sec")
+                pre = tot.get("chain_rows_per_sec")
+                post = tot.get("chain_rows_per_sec_post")
+                both = [x for x in (pre, post) if x]
+                # midpoint of the pre/post bracket when both probes were
+                # clean (each probe self-suppresses under co-load); a
+                # single surviving probe degrades to the r13 one-point
+                # behavior rather than discarding the artifact
+                cal = sum(both) / len(both) if both else None
                 # r12 machine-state evidence: print it so a clean compare
                 # also shows WHY the inputs are comparable
                 ext = tot.get("ext_cpu_cores")
                 if ext is not None:
+                    bracket = (f"{pre or '-'}..{post or '-'}"
+                               if (pre or post) else "-")
                     print(f"{path}: ext_cpu_cores={ext} "
                           f"loadavg1={tot.get('loadavg1')} "
-                          f"chain_rows_per_sec={cal or '-'} "
+                          f"chain_rows_per_sec={bracket} "
                           f"reason={tot.get('untrendable_reason', '-')}")
     if queries is None:
         raise SystemExit(f"no all_queries line in {path}")
@@ -69,22 +88,26 @@ def main():
     ta, tb = sum(a[k] for k in shared), sum(b[k] for k in shared)
     print(f"shared={len(shared)} totalA={ta:.2f}s totalB={tb:.2f}s "
           f"B/A={tb / ta:.3f}")
-    # r13: when both artifacts carry their own day calibration (the x20
-    # chain rows/s probed in-run), print the day-adjusted ratio too —
-    # this box's measured cross-day drift (up to ~±40%) swamps real code
-    # deltas, so the RAW cross-day B/A is not a code statement. The
-    # adjustment assumes wall scales ~1/throughput; it is a correction,
-    # not a substitute for a same-day A/B.
-    if ca and cb:
-        # B's day is slower when cb < ca → scale B's wall down by cb/ca
-        print(f"day calibration A={ca} B={cb} rows/s; "
-              f"day-adjusted B/A={(tb / ta) * (cb / ca):.3f} "
-              f"(raw {tb / ta:.3f} x day {cb / ca:.3f})")
-    rows = sorted(((b[k] / max(a[k], 1e-9), k) for k in shared), reverse=True)
-    flagged = [(r, k) for r, k in rows if r > thr]
-    print(f"queries with B/A > {thr}: {len(flagged)}")
-    for r, k in flagged:
-        print(f"  {r:6.2f}x {k}: A={a[k]:.3f}s B={b[k]:.3f}s")
+    # Day factor: B's day is slower when cb < ca → scale B's walls down
+    # by cb/ca. The adjustment assumes wall scales ~1/throughput; it is
+    # a correction, not a substitute for a same-day A/B.
+    day = (cb / ca) if (ca and cb) else None
+    if day is not None:
+        print(f"day calibration A={ca:.0f} B={cb:.0f} rows/s; "
+              f"day-adjusted B/A={(tb / ta) * day:.3f} "
+              f"(raw {tb / ta:.3f} x day {day:.3f})")
+    # Per-query gate: day-adjusted when both artifacts self-calibrated
+    # (the r14 tripwire of record for the ×10 canary), raw otherwise —
+    # and the output SAYS which one gated, so a reader never mistakes a
+    # raw cross-day flag for a code claim.
+    adj = day if day is not None else 1.0
+    rows = sorted(((b[k] / max(a[k], 1e-9) * adj, b[k] / max(a[k], 1e-9), k)
+                   for k in shared), reverse=True)
+    gate = "day-adjusted" if day is not None else "RAW (no calibration)"
+    flagged = [(r, raw, k) for r, raw, k in rows if r > thr]
+    print(f"queries with {gate} B/A > {thr}: {len(flagged)}")
+    for r, raw, k in flagged:
+        print(f"  {r:6.2f}x (raw {raw:.2f}x) {k}: A={a[k]:.3f}s B={b[k]:.3f}s")
 
 
 if __name__ == "__main__":

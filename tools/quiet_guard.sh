@@ -37,12 +37,11 @@ if [ "${1:-}" = "--bench" ] && [ -f /tmp/graft_campaign.lock ]; then
     echo "quiet_guard: REFUSING - campaign window open (flock held)" >&2
     exit 1
   fi
-  # legacy pid-file window (r11/r12 campaign scripts): live pid = open
-  pid=$(cat /tmp/graft_campaign.lock 2>/dev/null || echo "")
-  if [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; then
-    echo "quiet_guard: REFUSING - campaign window open (lock pid $pid alive)" >&2
-    exit 1
-  fi
-  # stale pid-file (owner dead, flock free): proceed, never rm
+  # The legacy pid-content check (r11/r12 campaign scripts wrote $$
+  # into the file) is GONE (r13 advice): after OS pid reuse by any
+  # unrelated long-lived process it falsely refused every recorded
+  # bench until the file was hand-cleaned. Every live campaign script
+  # (r13+) HOLDS the flock for its window, so the flock probe above is
+  # the complete gate; pid bytes left in the file are inert.
 fi
 exit 0

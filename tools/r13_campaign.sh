@@ -29,10 +29,12 @@ flock -n 9 || { say "cell refused: campaign window already open (flock)"; exit 1
 echo $$ > /tmp/graft_campaign.lock   # diagnostics + legacy pid readers
 
 busy_jiffies() { awk '/^cpu /{print $2+$3+$4+$7+$8+$9; exit}' /proc/stat; }
-# user+sys CPU seconds of this shell's WAITED children (tms_cutime/
-# tms_cstime accumulate recursively through waited descendants, so the
-# java grandchild is covered); no /usr/bin/time on this box
-child_cpu_sec() { times | awk 'NR==2{t=0;for(i=1;i<=2;i++){split($i,a,"m");sub("s","",a[2]);t+=a[1]*60+a[2]}print t}'; }
+# JVM user+sys CPU via bash's `time` KEYWORD (no /usr/bin/time on this
+# box). NOT the `times` builtin in a pipeline/substitution — a forked
+# subshell's tms_cutime starts at ZERO, so that always reports 0 and
+# the ext-cores line would charge the measured JVM's own CPU to the
+# machine (verified live in the r13 review). The keyword runs in the
+# current shell and aggregates waited descendants.
 
 CELL="${1:?usage: r13_campaign.sh <cell>}"; shift
 case "$CELL" in
@@ -42,12 +44,15 @@ case "$CELL" in
     git rev-parse HEAD > "$SNAP/GIT_HEAD"
     say "simjoin_x1000_newshape start (timeout 8h, frozen cp=$SNAP @ $(cat "$SNAP/GIT_HEAD"))"
     busy0=$(busy_jiffies); t0=$(date +%s)
-    SPARK_GRAFT_SF_DIR=/tmp/graft_x1000 RUN_MAIN_ERRF=/tmp/r13_simjoin.err \
-      RUN_MAIN_CP="$SNAP" \
-      timeout 28800 tools/run_main.sh graft.dev.SimJoinAB 0 | tee -a "$LOG"
-    rc=${PIPESTATUS[0]}
+    TIMEFORMAT='%U %S'
+    { time SPARK_GRAFT_SF_DIR=/tmp/graft_x1000 RUN_MAIN_ERRF=/tmp/r13_simjoin.err \
+        RUN_MAIN_CP="$SNAP" \
+        timeout 28800 tools/run_main.sh graft.dev.SimJoinAB 0 \
+        > /tmp/r13_simjoin.out ; } 2> /tmp/r13_simjoin.cputime
+    rc=$?
+    tee -a "$LOG" < /tmp/r13_simjoin.out
     t1=$(date +%s); busy1=$(busy_jiffies)
-    jvm=$(child_cpu_sec)
+    jvm=$(awk '{print $1+$2}' /tmp/r13_simjoin.cputime)
     say "simjoin_x1000_newshape rc=$rc wall=$((t1-t0))s jvm_cpu=${jvm}s $(awk -v b0="$busy0" -v b1="$busy1" -v j="$jvm" -v w=$((t1-t0)) 'BEGIN{e=((b1-b0)/100-j)/w; if(e<0)e=0; printf "ext_cpu_cores=%.2f", e}')"
     exit "$rc"
     ;;
