@@ -68,6 +68,30 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => None }
 
+  /** Steal jiffies alone (field 8 of the aggregate cpu line) — the
+    * hypervisor withholding this guest's vCPUs. Steal is already INSIDE
+    * busyJiffies (so ext_cpu_cores gates on it), but reporting it
+    * separately attributes a dirty window: ext≈steal means a contended
+    * HOST (nothing on this box to kill), ext>>steal means another local
+    * process. Motivated by the r14 canary investigation, where a
+    * noisy-neighbor day produced 2x CPU-seconds on memory-bound queries
+    * while ext read 0.00 over the full loop (per-query bursts dilute in
+    * a run-level average; 7,183 core-s of cumulative steal told the
+    * real story). */
+  private[graft] def stealJiffies(statLine: String): Option[Long] = {
+    val t = statLine.trim.split("\\s+")
+    if (t.length < 9 || t(0) != "cpu") None
+    else try Some(t(8).toLong)
+    catch { case _: NumberFormatException => None }
+  }
+
+  private def readStealJiffies(): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().nextOption().flatMap(stealJiffies)
+      finally src.close()
+    } catch { case _: Exception => None }
+
   private def loadAvg1(): Option[Double] =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
@@ -273,6 +297,7 @@ object Bench {
     // machine-quietness span brackets the ENTIRE measurement loop (the
     // co-load that matters is co-load during any timed pass)
     val busy0 = readBusyJiffies()
+    val steal0 = readStealJiffies()
     val jvmCpu0 = processCpuNanos()
     val runWall0 = System.nanoTime()
     val measured = runQueries(spark, sfDir, selected, passes, isolate)
@@ -281,6 +306,11 @@ object Bench {
       b0 <- busy0; b1 <- readBusyJiffies()
       if jvmCpu0 >= 0
     } yield externalCores(b1 - b0, (processCpuNanos() - jvmCpu0) / 1e9, runWallSec)
+    // steal share of the same window (subset of ext — attribution only)
+    val stealCores: Option[Double] = for {
+      s0 <- steal0; s1 <- readStealJiffies()
+      if runWallSec > 0
+    } yield (s1 - s0) / 100.0 / runWallSec
     // post-loop calibration probe — AFTER the run's quietness bracket is
     // closed, so the probe's CPU never counts against the measured loop
     val (chainRpsPostRaw, calExtPost) = calibrationProbe("post")
@@ -369,6 +399,7 @@ object Bench {
     // clean run proves it was clean and a dirty one names its thief
     val machineField =
       extCores.map(e => s""""ext_cpu_cores":${jnum(e, 2)},""").getOrElse("") +
+      stealCores.map(s => s""""steal_cores":${jnum(s, 2)},""").getOrElse("") +
       loadAvg1().map(l => s""""loadavg1":${jnum(l, 2)},""").getOrElse("") +
       chainRps.map(r => s""""chain_rows_per_sec":$r,""").getOrElse("") +
       chainRpsPost.map(r => s""""chain_rows_per_sec_post":$r,""").getOrElse("") +

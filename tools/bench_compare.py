@@ -30,11 +30,13 @@ import sys
 
 
 def load(path):
-    queries, untrendable, cal = None, False, None
+    queries, untrendable, cal, cpu_ratio = None, False, None, {}
     with open(path) as f:
         for line in f:
             if '"metric":"all_queries"' in line:
-                queries = json.loads(line)["queries"]
+                d = json.loads(line)
+                queries = d["queries"]
+                cpu_ratio = d.get("cpu_ratio") or {}
             if '"metric":"total"' in line:
                 tot = json.loads(line)
                 untrendable = bool(tot.get("untrendable"))
@@ -58,13 +60,34 @@ def load(path):
                           f"reason={tot.get('untrendable_reason', '-')}")
     if queries is None:
         raise SystemExit(f"no all_queries line in {path}")
-    return queries, untrendable, cal
+    return queries, untrendable, cal, cpu_ratio
+
+
+def classify(wall_ratio, cpu_ratio_ratio):
+    """Attribute a flagged wall ratio using CPU-seconds (r14).
+
+    The artifact's per-query cpu_ratio (JVM cpu / wall of the reported
+    pass) lets a flag self-attribute: stolen/blocked time inflates WALL
+    while CPU-seconds stay flat, so cpu-s ratio << wall ratio = the
+    machine withheld cores (hypervisor steal, IO block) — not code. A
+    cpu-s ratio tracking the wall ratio means the JVM genuinely burned
+    proportionally more cycles, which is EITHER more work (code/data) or
+    a memory-bandwidth-contended host (stalled cycles count as busy) —
+    only a same-day A/B separates those two.
+    """
+    if cpu_ratio_ratio is None:
+        return ""
+    if cpu_ratio_ratio < 0.55 * wall_ratio:
+        return " [machine: wall-only, cpu-s flat — blocked/stolen]"
+    if cpu_ratio_ratio > 0.8 * wall_ratio:
+        return " [cpu-proportional: code/data OR bandwidth-contended day — needs same-day A/B]"
+    return " [mixed]"
 
 
 def main():
     force = "--force" in sys.argv
     argv = [a for a in sys.argv if a != "--force"]
-    (a, ua, ca), (b, ub, cb) = load(argv[1]), load(argv[2])
+    (a, ua, ca, cra), (b, ub, cb, crb) = load(argv[1]), load(argv[2])
     flagged_inputs = [p for p, u in ((argv[1], ua), (argv[2], ub)) if u]
     if flagged_inputs:
         msg = (f"untrendable input(s) {flagged_inputs}: the bench flagged "
@@ -107,7 +130,14 @@ def main():
     flagged = [(r, raw, k) for r, raw, k in rows if r > thr]
     print(f"queries with {gate} B/A > {thr}: {len(flagged)}")
     for r, raw, k in flagged:
-        print(f"  {r:6.2f}x (raw {raw:.2f}x) {k}: A={a[k]:.3f}s B={b[k]:.3f}s")
+        # CPU-seconds attribution when both artifacts carry cpu_ratio
+        crr = None
+        if k in cra and k in crb and a[k] * cra[k] > 0:
+            crr = (b[k] * crb[k]) / (a[k] * cra[k])
+        note = classify(raw, crr)
+        cpus = f" cpu-s {a[k]*cra[k]:.2f}->{b[k]*crb[k]:.2f}" if crr else ""
+        print(f"  {r:6.2f}x (raw {raw:.2f}x) {k}: A={a[k]:.3f}s "
+              f"B={b[k]:.3f}s{cpus}{note}")
 
 
 if __name__ == "__main__":
