@@ -19,6 +19,16 @@ object Similarity {
     * join falls back to a shuffle (see the gate in [[lshTopK]]). */
   val MaxBroadcastQueries: Long = 100000L
 
+  /** Query-count floor for [[lshTopK]]'s broadcast-path parallelism
+    * heal (r14): below this, probe work per corpus row is light enough
+    * that an extra corpus shuffle costs more than the starvation — the
+    * sf0.1 bench shape (a handful of queries, 1-split corpus) must not
+    * pay a new exchange for nothing. Above it, probe work (qCount x
+    * bucket collisions per corpus row) dwarfs one pre-explode
+    * round-robin pass: measured at x100, 50k queries on a 2-split
+    * corpus ran 546 s un-healed vs 78 s at full width. */
+  val MinHealQueries: Long = 1024L
+
   /** Sequential-fold cosine via the native codegen'd expression — same
     * IEEE op order as a left-fold SQL oracle, bit-reproducible. */
   def cosine(a: Column, b: Column): Column =
@@ -93,13 +103,40 @@ object Similarity {
       if (bits == 0) corpus.select(lit(0).as("__side")).unionAll(qIds)
       else qIds)
     val b = if (bits == 0) autoBits(corpusN) else bits
-    val c = corpus.select(col(idKey).as("neighbor_id"),
+    val broadcastPath = qCount <= maxBroadcastQueries
+    // Parallelism self-heal (r14, measured): on the broadcast path the
+    // probe stage's task count equals the corpus SCAN's split count —
+    // there is no exchange to re-parallelize it — and probe work scales
+    // with qCount x bucket collisions, not with scan bytes. A compact
+    // corpus (x100 bench: 500k near-dup vectors = ONE 4.6 MB snappy
+    // file = 2 splits) then runs ~2000 core-s of cosine+dedup on 2 of
+    // 32 cores: 546 s wall vs 78 s for the merge fallback, SAME work,
+    // identical result digests (stage trace in BASELINE.md Round-14).
+    // When the scan is split-starved AND the query side is big enough
+    // for probe work to dominate, round-robin the corpus BEFORE the
+    // explode (pre-explode bytes, 1/tables of the exploded shuffle).
+    // On a real cluster a big corpus has thousands of splits, so this
+    // never fires and the no-corpus-shuffle contract stands; the merge
+    // fallback needs no heal (its own exchange re-parallelizes).
+    val c0 = corpus.select(col(idKey).as("neighbor_id"),
       col(embKey).cast("array<double>").as("__ce"))
+    val cPre = if (broadcastPath && qCount >= MinHealQueries) {
+      val sctx = corpus.sparkSession.sparkContext
+      val scanPar = c0.rdd.getNumPartitions
+      if (scanPar < sctx.defaultParallelism) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"lshTopK: corpus side has $scanPar partition(s) for " +
+            s"$qCount broadcast queries — repartitioning to " +
+            s"${sctx.defaultParallelism} (probe-stage parallelism heal)")
+        c0.repartition(sctx.defaultParallelism)
+      } else c0
+    } else c0
+    val c = cPre
       .withColumn("__bucket", explode(CosineLsh.buckets(col("__ce"), b, dim, tables)))
     val q = q0
       .withColumn("__bucket", explode(CosineLsh.buckets(col("__qe"), b, dim, tables)))
     val qSide =
-      if (qCount <= maxBroadcastQueries) broadcast(q)
+      if (broadcastPath) broadcast(q)
       else {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"lshTopK: $qCount query rows exceed maxBroadcastQueries=" +
