@@ -46,7 +46,18 @@ object Similarity {
         (col("__pos") + 1).cast("int").as("rank"))
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
-    * rows (excluding itself), ties broken by corpus id. */
+    * rows (excluding itself), ties broken by corpus id.
+    *
+    * Parallelism boundary (r14, stated honestly): like every
+    * broadcast-probe shape, this map stage's task count equals the
+    * corpus scan's split count — a compact single-file corpus probed by
+    * a LARGE query set would starve exactly as [[lshTopK]] did before
+    * its heal. No heal here, deliberately: the gate needs a query
+    * count this signature doesn't have (adding one costs a job on the
+    * pinned baseline path), and brute force is BY CONTRACT the
+    * small-query exact baseline — a big query set belongs on
+    * [[lshTopK]] (self-healing) or [[ivfTopK]] (exchange-parallelized
+    * ranking). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, embKey: String,
       idKey: String, k: Int): DataFrame = {
     val c = corpus.select(col(idKey).as("neighbor_id"),
