@@ -45,6 +45,13 @@ object Bench {
   private def processCpuNanos(): Long =
     osBean.map(_.getProcessCpuTime).getOrElse(-1L)
 
+  /** USER_HZ jiffy rate for every `/proc/stat` consumer — busy (ext)
+    * AND steal, the two quietness metrics that are compared against
+    * each other, so the rate must live in exactly one place (r15
+    * advice; 100 is the universal Linux value — `getconf CLK_TCK` on
+    * this box concurs). */
+  private[graft] val UserHz = 100.0
+
   /** Busy jiffies from a `/proc/stat` aggregate "cpu " line: user + nice
     * + system + irq + softirq + steal (idle and iowait excluded — iowait
     * is idle-with-pending-IO, not compute). None when the line isn't the
@@ -61,12 +68,19 @@ object Bench {
     } catch { case _: NumberFormatException => None }
   }
 
-  private def readBusyJiffies(): Option[Long] =
+  /** One raw read of the aggregate cpu line — busy and steal deltas for
+    * a window must parse the SAME snapshot, never two reads a few
+    * statements apart (r15 advice: steal is a subset of busy, and a
+    * skewed window makes the subset claim drift). */
+  private def readStatCpuLine(): Option[String] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().nextOption().flatMap(busyJiffies)
+      try src.getLines().nextOption()
       finally src.close()
     } catch { case _: Exception => None }
+
+  private def readBusyJiffies(): Option[Long] =
+    readStatCpuLine().flatMap(busyJiffies)
 
   /** Steal jiffies alone (field 8 of the aggregate cpu line) — the
     * hypervisor withholding this guest's vCPUs. Steal is already INSIDE
@@ -85,12 +99,6 @@ object Bench {
     catch { case _: NumberFormatException => None }
   }
 
-  private def readStealJiffies(): Option[Long] =
-    try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().nextOption().flatMap(stealJiffies)
-      finally src.close()
-    } catch { case _: Exception => None }
 
   private def loadAvg1(): Option[Double] =
     try {
@@ -111,7 +119,7 @@ object Bench {
     * read ~26-29 external cores against a quiet-machine floor of
     * well under 0.5. */
   private[graft] def externalCores(busyDeltaJiffies: Long, jvmCpuSec: Double,
-      wallSec: Double, hz: Double = 100.0): Double =
+      wallSec: Double, hz: Double = UserHz): Double =
     if (wallSec <= 0) 0.0
     else math.max(0.0, busyDeltaJiffies / hz - jvmCpuSec) / wallSec
 
@@ -296,21 +304,23 @@ object Bench {
     val chainRps = cleanRps(chainRpsPreRaw, calExtPre)
     // machine-quietness span brackets the ENTIRE measurement loop (the
     // co-load that matters is co-load during any timed pass)
-    val busy0 = readBusyJiffies()
-    val steal0 = readStealJiffies()
+    val stat0 = readStatCpuLine() // ONE snapshot feeds busy AND steal
+    val busy0 = stat0.flatMap(busyJiffies)
+    val steal0 = stat0.flatMap(stealJiffies)
     val jvmCpu0 = processCpuNanos()
     val runWall0 = System.nanoTime()
     val measured = runQueries(spark, sfDir, selected, passes, isolate)
     val runWallSec = (System.nanoTime() - runWall0) / 1e9
+    val stat1 = readStatCpuLine() // same-instant close of both windows
     val extCores: Option[Double] = for {
-      b0 <- busy0; b1 <- readBusyJiffies()
+      b0 <- busy0; b1 <- stat1.flatMap(busyJiffies)
       if jvmCpu0 >= 0
     } yield externalCores(b1 - b0, (processCpuNanos() - jvmCpu0) / 1e9, runWallSec)
     // steal share of the same window (subset of ext — attribution only)
     val stealCores: Option[Double] = for {
-      s0 <- steal0; s1 <- readStealJiffies()
+      s0 <- steal0; s1 <- stat1.flatMap(stealJiffies)
       if runWallSec > 0
-    } yield (s1 - s0) / 100.0 / runWallSec
+    } yield (s1 - s0) / UserHz / runWallSec
     // post-loop calibration probe — AFTER the run's quietness bracket is
     // closed, so the probe's CPU never counts against the measured loop
     val (chainRpsPostRaw, calExtPost) = calibrationProbe("post")

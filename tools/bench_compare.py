@@ -135,7 +135,10 @@ def main():
         if k in cra and k in crb and a[k] * cra[k] > 0:
             crr = (b[k] * crb[k]) / (a[k] * cra[k])
         note = classify(raw, crr)
-        cpus = f" cpu-s {a[k]*cra[k]:.2f}->{b[k]*crb[k]:.2f}" if crr else ""
+        # `is not None`, not truthiness: a legitimate 0.0 ratio must
+        # still print its supporting cpu-s numbers beside the note
+        cpus = (f" cpu-s {a[k]*cra[k]:.2f}->{b[k]*crb[k]:.2f}"
+                if crr is not None else "")
         print(f"  {r:6.2f}x (raw {raw:.2f}x) {k}: A={a[k]:.3f}s "
               f"B={b[k]:.3f}s{cpus}{note}")
 

@@ -1,0 +1,56 @@
+#!/bin/bash
+# One-command reproduction of a round's claims (r14 verdict stretch #7):
+#   1. sbt test                 — the scalatest gate (also compiles the
+#                                 classes every later step runs from)
+#   2. Verify @ sf0.01 + DuckDB — the correctness gate: graft.Verify dumps
+#                                 every SparkEntry query + oracle_sql.json,
+#                                 tools/check_oracle.py replays the oracles
+#                                 in DuckDB and diffs (rows/schema/values)
+#   3. recorded sf0.1 bench     — quiet-gated (tools/recorded_bench.sh):
+#                                 REFUSES on a busy machine or open
+#                                 campaign window instead of emitting an
+#                                 untrendable number; a refusal here is a
+#                                 machine statement, not a repro failure
+# Usage: tools/judge_repro.sh [outDir]     (default /tmp/judge_repro)
+# Exit: non-zero iff step 1 or 2 fails; step 3's refusal is reported but
+#       does not fail the repro (its artifact self-flags when dirty).
+set -u -o pipefail
+cd "$(dirname "$0")/.."
+OUT="${1:-/tmp/judge_repro}"
+mkdir -p "$OUT"
+
+echo "== 1/3 sbt test =="
+sbt -batch test 2>&1 | tee "$OUT/sbt_test.log" | tail -5
+grep -q "All tests passed." "$OUT/sbt_test.log" || {
+  echo "judge_repro: FAIL - sbt test did not pass (see $OUT/sbt_test.log)" >&2
+  exit 1
+}
+
+echo "== 2/3 Verify @ sf0.01 + DuckDB oracle =="
+rm -rf "$OUT/verify"
+RUN_MAIN_ERRF="$OUT/verify.err" \
+  tools/run_main.sh graft.Verify /root/testdata/sf0.01 "$OUT/verify" \
+  > "$OUT/verify.out" || {
+  echo "judge_repro: FAIL - graft.Verify died (see $OUT/verify.err)" >&2
+  exit 1
+}
+python3 tools/check_oracle.py /root/testdata/sf0.01 "$OUT/verify" \
+  | tee "$OUT/oracle.txt"
+ok=$(grep -c '^OK' "$OUT/oracle.txt" || true)
+bad=$(grep -cE '^(MISMATCH|SPARK-MISSING)' "$OUT/oracle.txt" || true)
+echo "oracle: $ok OK, $bad failing"
+[ "$bad" -eq 0 ] || {
+  echo "judge_repro: FAIL - $bad oracle mismatches (see $OUT/oracle.txt)" >&2
+  exit 1
+}
+
+echo "== 3/3 recorded sf0.1 bench (quiet-gated; may refuse) =="
+if tools/recorded_bench.sh "$OUT/bench.json"; then
+  grep -o '"untrendable[^,}]*' "$OUT/bench.json" && \
+    echo "bench ran but self-flagged — walls are not evidence" || \
+    echo "bench clean: $OUT/bench.json"
+else
+  echo "bench refused (machine busy / campaign window) — re-run step 3" \
+       "alone on a quiet machine: tools/recorded_bench.sh $OUT/bench.json"
+fi
+echo "JUDGE_REPRO_DONE ok=$ok"
