@@ -434,7 +434,15 @@ object Similarity {
     * Centering is a RUNTIME knob (default off): bucket assignment changes,
     * so runs pinned to a SQL oracle's uncentered codes must not set it;
     * the exact cosine verify is unchanged either way, so the PAIR SET at
-    * a given threshold only gains/loses via candidate recall.
+    * a given threshold only gains/loses via candidate recall. MEASURED
+    * (r15, RecallSpec, 600-row corpus biased around the all-ones
+    * direction, pairs planted at cos 0.95, bits=8/tables=4): centering
+    * splits the hottest bucket 205 → 14 rows but recall falls 0.873 →
+    * 0.550 — the shared mean carries most of a biased pair's cosine, so
+    * the residuals meet at a much wider angle and per-plane collision
+    * drops well below the zero-centered theory. Centering SPENDS recall
+    * to buy bucket balance; callers who set it should raise `tables`
+    * to buy the recall back.
     *
     * Emit-once: each side carries its full bucket-key array (tables ×
     * ~12 B — noise next to the vector) and a pair survives only in its
