@@ -129,6 +129,14 @@ object Bench {
     * run; any concurrent JVM/compile job blows past 1.5 immediately. */
   private[graft] val MaxExternalCores = 1.5
 
+  /** Max tolerated pre/post calibration-bracket ratio before the run
+    * self-flags `cal_drift`: quiet same-regime runs measure ≤ 1.05
+    * (r14's clean sf0.1: 0.5%; its ×10 canary: 3.6%), while the r15
+    * split-regime attempts read 1.38-1.62. 1.15 sits well above
+    * re-measurement noise and well below any drift that would move a
+    * day-adjusted trend materially. */
+  private[graft] val MaxCalDrift = 1.15
+
   /** Measure each query.
     *
     * Methodology (round 6 — the recorded mode): `passes` total runs per
@@ -399,9 +407,23 @@ object Bench {
     // CPU — machine busy minus this JVM — is absolute and catches it.
     val noisy = noiseP90.exists(_ > 1.2)
     val coLoaded = extCores.exists(_ > MaxExternalCores)
-    val untrendable = noisy || coLoaded
+    // Third gate (r15): the pre/post calibration BRACKET. Two r15 ×10
+    // canary attempts passed both gates above while their brackets read
+    // 149.8k→207.1k and 144.5k→233.8k rows/s — the machine sped up
+    // MID-RUN (host contention clearing), so no single day factor
+    // describes the run and day-adjusted per-query ratios compare two
+    // regimes, not code. Pass-noise can miss it (each query's passes
+    // run back-to-back inside one regime) and ext/steal can miss it
+    // (bandwidth contention bills as guest cpu). A drifting bracket is
+    // exactly the "no single calibration is honest" signal, so it
+    // flags the artifact itself.
+    val calDrift = (for (a <- chainRps; b <- chainRpsPost)
+      yield math.max(a, b).toDouble / math.max(1L, math.min(a, b)))
+      .exists(_ > MaxCalDrift)
+    val untrendable = noisy || coLoaded || calDrift
     val reason = Seq(if (noisy) Some("pass_noise") else None,
-      if (coLoaded) Some("co_load") else None).flatten.mkString("+")
+      if (coLoaded) Some("co_load") else None,
+      if (calDrift) Some("cal_drift") else None).flatten.mkString("+")
     val untrendableField =
       if (untrendable) s""""untrendable":true,"untrendable_reason":"$reason","""
       else ""
