@@ -41,6 +41,34 @@ object ThroughputBench {
     }.min
   }
 
+  /** Min pass time, run to CONVERGENCE: keep passing while each pass
+    * still improves the best by >3%, stop after two consecutive
+    * non-improving passes (cap 12). Why (r15): the calibration must
+    * measure the MACHINE, but a fixed min-of-3 in a cold JVM measures
+    * C2 compilation instead — four ×10 canary attempts read pre-cal
+    * 138-158k rows/s against post-cal 207-243k and standalone 340k+ on
+    * the same quiet machine, a JIT ramp the contended r12-r14 days had
+    * masked (their ~155k machine ceiling capped every pass, so
+    * brackets looked tight). On a machine-limited day this converges
+    * in exactly 3 passes — the old cost; on a fast machine it runs the
+    * few extra passes C2 needs and reports the machine, not the
+    * compiler. */
+  private def convergedMin(df: => DataFrame, maxPasses: Int = 12): Double = {
+    chain(df).count() // warmup (codegen, scan setup)
+    var best = Double.MaxValue
+    var flat = 0
+    var i = 0
+    while (i < maxPasses && flat < 2) {
+      val t0 = System.nanoTime()
+      chain(df).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      if (t < best * 0.97) { best = t; flat = 0 }
+      else { if (t < best) best = t; flat += 1 }
+      i += 1
+    }
+    best
+  }
+
   /** The ×20 amortized chain figure as a reusable probe: (rows,
     * rows/sec). This is the day-calibration number the cross-round
     * record trends against (r7 208k / r11 236.7k / r12 206.8k
@@ -58,7 +86,7 @@ object ThroughputBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nX20 = x20.count() // materialize the cache outside any timed pass
-      val tX20 = minOf3(x20)
+      val tX20 = convergedMin(x20)
       (nX20, (nX20 / tX20).toLong)
     } finally x20.unpersist(true)
   }

@@ -132,7 +132,13 @@ object Similarity {
     // fallback needs no heal (its own exchange re-parallelizes).
     val c0 = corpus.select(col(idKey).as("neighbor_id"),
       col(embKey).cast("array<double>").as("__ce"))
-    val cPre = if (broadcastPath) {
+    // qCount is already known here, so short-circuit BEFORE the gate:
+    // probeHealWidth's width probe is zero jobs but not zero cost (it
+    // builds a full QueryExecution for the corpus projection), and the
+    // small-query bench shape must stay plan-construction-identical to
+    // r14 (the r15 canary measured the dropped short-circuit as +80 ms
+    // on sim_lsh_topk — the only touched-family flag; restored).
+    val cPre = if (broadcastPath && qCount >= MinHealQueries) {
       probeHealWidth(c0, qCount) match {
         case Some(w) =>
           org.slf4j.LoggerFactory.getLogger(getClass).info(
