@@ -420,10 +420,19 @@ object Bench {
     val calDrift = (for (a <- chainRps; b <- chainRpsPost)
       yield math.max(a, b).toDouble / math.max(1L, math.min(a, b)))
       .exists(_ > MaxCalDrift)
-    val untrendable = noisy || coLoaded || calDrift
+    // r16 (ADVICE): a missing bracket endpoint used to DISABLE the
+    // drift check silently — a probe suppressed by its own co-load gate
+    // (cleanRps) or a probe error left the run trendable with no
+    // bracket at all, the exact "no honest calibration" condition
+    // cal_drift exists to flag (r15's artifact of record passed it
+    // vacuously: its post-probe was suppressed by a 2.69-core burst).
+    // A calibrated run now requires BOTH endpoints to be trendable.
+    val calMissing = calibrateEnabled && (chainRps.isEmpty || chainRpsPost.isEmpty)
+    val untrendable = noisy || coLoaded || calDrift || calMissing
     val reason = Seq(if (noisy) Some("pass_noise") else None,
       if (coLoaded) Some("co_load") else None,
-      if (calDrift) Some("cal_drift") else None).flatten.mkString("+")
+      if (calDrift) Some("cal_drift") else None,
+      if (calMissing) Some("cal_missing") else None).flatten.mkString("+")
     val untrendableField =
       if (untrendable) s""""untrendable":true,"untrendable_reason":"$reason","""
       else ""
@@ -436,7 +445,14 @@ object Bench {
       chainRps.map(r => s""""chain_rows_per_sec":$r,""").getOrElse("") +
       chainRpsPost.map(r => s""""chain_rows_per_sec_post":$r,""").getOrElse("") +
       calExtPre.map(e => s""""cal_ext_pre":${jnum(e, 2)},""").getOrElse("") +
-      calExtPost.map(e => s""""cal_ext_post":${jnum(e, 2)},""").getOrElse("")
+      calExtPost.map(e => s""""cal_ext_post":${jnum(e, 2)},""").getOrElse("") +
+      // calibration-methodology marker (r16, ADVICE): r15 switched the
+      // probe statistic from min-of-3 to run-to-convergence, which
+      // changes what chain_rows_per_sec MEANS (old quiet-day figures
+      // were JIT-capped); without a marker, bench_compare's day factor
+      // silently divides a converged number by a min-of-3 one across
+      // rounds. Artifacts before this field are "min3" by default.
+      (if (calibrateEnabled) s""""cal_stat":"converged",""" else "")
     println(s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec","mode":"$mode","passes":$passes,"stat":"$stat",$untrendableField$machineField"nqueries":${measured.size},"errors":${errors.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // failure-honest: any query that threw makes the bench itself red

@@ -12,12 +12,16 @@ import graft.ops.refine.{LowercaseRefiner, RemoveExtraSpacesRefiner}
   *
   * Measures `pipeline_text_chain` (lowercase → space-normalize →
   * word-count filter → keep-first hash dedup — one lazy plan, single
-  * shuffle at the dedup window) two ways, min of 3 passes each:
-  *   1. documents sf0.1 straight off the parquet scan (floor-bound by
-  *      ~0.5 s of job scheduling at 5k rows);
+  * shuffle at the dedup window) two ways:
+  *   1. documents sf0.1 straight off the parquet scan, min of 3 passes
+  *      (floor-bound by ~0.5 s of job scheduling at 5k rows);
   *   2. a ×20 in-memory replica (doc_id remapped per replica so dedup
-  *      still does per-row work) — fixed overhead amortized, this is
-  *      the rows/s/node figure that extrapolates to a cluster.
+  *      still does per-row work), run to CONVERGENCE since r15 (see
+  *      [[convergedMin]] — a fixed min-of-3 in a cold JVM measures C2
+  *      compilation, not the machine) — fixed overhead amortized, this
+  *      is the rows/s/node figure that extrapolates to a cluster.
+  *      Artifacts mark the statistic as `"cal_stat":"converged"`; pins
+  *      recorded before r15 were min-of-3.
   *
   * Usage: runMain graft.ThroughputBench [sfDir]
   */

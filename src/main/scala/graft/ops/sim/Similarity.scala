@@ -16,7 +16,24 @@ object Similarity {
   /** Query-side broadcast ceiling for [[lshTopK]]: 100k rows × (64-dim
     * double vector + tables bucket keys) ≈ 60 MB built once per executor
     * — the comfortable upper edge for a broadcast build. Above it the
-    * join falls back to a shuffle (see the gate in [[lshTopK]]). */
+    * join falls back to a shuffle (see the gate in [[lshTopK]]).
+    *
+    * This default is a per-deployment tuning surface, and the r14/r15
+    * A/Bs priced both branches (BASELINE.md, digests identical):
+    *   - ×100 (200k vectors, 50k queries, single node): broadcast+heal
+    *     110.7 s vs merge fallback 116.4 s — a wash.
+    *   - ×1000 (2M vectors, 50k queries, single node): broadcast+heal
+    *     434.8 s vs fallback 224.5 s — the FALLBACK wins 1.94× locally
+    *     (shared-heap GC + hash-probe overhead at near-dup match
+    *     multiplicity; the corpus shuffle it pays costs only local disk).
+    * The default still stands for the 100 TB design point: on a
+    * multi-executor cluster the fallback shuffles the ENTIRE corpus
+    * across the network while the broadcast ships ~tens of MB of
+    * queries and touches the corpus in place — local[32] charges
+    * nothing for exactly the cost that dominates at scale. Single-node
+    * users with compact corpora and big query sets should LOWER this
+    * ceiling (forcing the merge fallback earlier); cluster users can
+    * raise it as far as executor memory tolerates the query build. */
   val MaxBroadcastQueries: Long = 100000L
 
   /** Query-count floor for [[lshTopK]]'s broadcast-path parallelism
@@ -263,6 +280,9 @@ object Similarity {
     // the centroid export stay on the unhealed `c`: `limit(maxTrain)`
     // on a repartitioned corpus would pick different training rows,
     // and centroids must not depend on a parallelism heal.
+    // oneJobCount is shuffle-safe since r16 (ADVICE): a query set with
+    // shuffle lineage falls back to an AQE-managed count instead of
+    // finalizing its exchanges through toRdd.
     // minHealQueries: the gate floor as a knob (Long.MaxValue disables —
     // the A/B switch, mirroring lshTopK's maxBroadcastQueries role)
     val cProbe = probeHealWidth(c, oneJobCount(q), minHealQueries) match {
@@ -358,6 +378,23 @@ object Similarity {
     }
   }
 
+  /** True iff `plan` is non-adaptive and exchange-free — the
+    * precondition for driving its RDD directly ([[lazyScanWidth]],
+    * [[oneJobCount]], [[sideCounts]]): `toRdd` on a plan AQE wrapped in
+    * `AdaptiveSparkPlanExec` finalizes the adaptive plan, which
+    * MATERIALIZES every exchange in the lineage (real shuffle jobs, not
+    * reusable by the later full query), and even without AQE a direct
+    * runJob over an exchange plan forfeits runtime re-planning. */
+  private def exchangeFree(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    !plan.exists {
+      case _: AdaptiveSparkPlanExec => true
+      case _: Exchange => true
+      case _ => false
+    }
+  }
+
   /** Scan width (RDD partition count) of an exchange-free plan WITHOUT
     * executing anything; `None` when the plan has shuffle lineage.
     *
@@ -371,28 +408,67 @@ object Similarity {
     * those, and only those, the width is read directly. (With AQE
     * disabled an exchange plan's RDD is also lazy, but then its width
     * is the static shuffle partition count — never scan-starved — so
-    * returning None for it too costs nothing.) */
+    * returning None for it too costs nothing.)
+    *
+    * Cache boundary (r16, ADVICE): a CACHED corpus surfaces as
+    * `InMemoryTableScanExec`, and (Spark 4.1) AQE wraps ANY plan over a
+    * cache scan, so such a corpus used to be refused wholesale. Probing
+    * an UNMATERIALIZED cache would execute the cache build (the cached
+    * plan's own AQE shell + exchanges — real jobs), so it answers None
+    * (the same accepted residual as shuffle lineage: materialize or
+    * repartition explicitly). A MATERIALIZED cache answers its width
+    * from the existing cached RDD — pure metadata, zero jobs — which
+    * the r15 guard's blanket AQE refusal left on the table. The AQE
+    * shell is unwrapped for INSPECTION only (via `inputPlan`, never
+    * finalized); any exchange, unbuilt cache, or other AQE trigger
+    * (e.g. a subquery) under the shell still refuses. */
   private[graft] def lazyScanWidth(df: DataFrame): Option[Int] = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.Exchange
-    val exec = df.queryExecution.executedPlan
-    val lazyRdd = !exec.exists {
-      case _: AdaptiveSparkPlanExec => true
-      case _: Exchange => true
-      case _ => false
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def unbuilt(s: InMemoryTableScanExec): Boolean =
+      !s.relation.cacheBuilder.isCachedColumnBuffersLoaded
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        // driving toRdd would finalize the adaptive plan; the one shape
+        // still answerable with zero jobs is a BUILT cache scan under
+        // narrow operators (width = the cached RDD's partition count)
+        val in = a.inputPlan
+        val hazard = in.exists {
+          case _: Exchange => true
+          case _: AdaptiveSparkPlanExec => true
+          case s: InMemoryTableScanExec => unbuilt(s)
+          case _ => false
+        }
+        if (hazard) None
+        else in.collectFirst { case s: InMemoryTableScanExec =>
+          s.relation.cacheBuilder.cachedColumnBuffers.getNumPartitions
+        } // no cache ⇒ AQE wrapped for another reason (subquery) ⇒ None
+      case p =>
+        val hazard = p.exists {
+          case _: Exchange => true
+          case s: InMemoryTableScanExec => unbuilt(s)
+          case _ => false
+        }
+        if (hazard) None else Some(df.queryExecution.toRdd.getNumPartitions)
     }
-    if (lazyRdd) Some(df.queryExecution.toRdd.getNumPartitions) else None
   }
 
-  /** Row count of an exchange-free plan in exactly ONE Spark job — the
+  /** Row count in exactly ONE Spark job when the plan allows it — the
     * single-side sibling of [[sideCounts]] (same reasoning: a DataFrame
     * `count()` is 2+ jobs under AQE, each a ~55 ms scheduling floor).
-    * Only for plans with no exchange: `toRdd` bypasses AQE, which is
-    * free for a narrow projection but would forfeit runtime re-planning
-    * on a shuffling plan. */
+    * The fast path drives `toRdd` directly, which is only legal on an
+    * exchange-free plan (r16, ADVICE: on a shuffle-lineage input —
+    * e.g. ivfTopK gating a query set built by a groupBy — `toRdd`
+    * would finalize the plan's exchanges under AQE as non-reusable
+    * shuffle jobs, the exact hazard class [[lazyScanWidth]] guards on
+    * the corpus side), so a shuffled input falls back to a plain
+    * AQE-managed `count()` — 2+ jobs, the documented cost of gating a
+    * shuffle-derived input, but never a contract violation. */
   private[graft] def oneJobCount(df: DataFrame): Long = {
     val narrow = df.select(lit(1))
-    narrow.sparkSession.sparkContext
+    if (!exchangeFree(narrow.queryExecution.executedPlan)) narrow.count()
+    else narrow.sparkSession.sparkContext
       .runJob(narrow.queryExecution.toRdd,
         (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
           var c = 0L; while (it.hasNext) { it.next(); c += 1L }; c
@@ -407,8 +483,15 @@ object Similarity {
     * local mode, which is the measurable cost of an auto-knob gate at
     * bench scale. The plan here is a narrow projection (no exchange),
     * so driving its RDD directly with one `runJob` is one pass, one
-    * job, no AQE staging. */
+    * job, no AQE staging. When a CALLER's input carries shuffle lineage
+    * (the r16 oneJobCount hazard — `toRdd` would finalize its exchanges
+    * under AQE), fall back to one AQE-managed aggregation instead. */
   private def sideCounts(tagged: DataFrame): (Long, Long) = {
+    if (!exchangeFree(tagged.queryExecution.executedPlan)) {
+      val m = tagged.groupBy(col("__side")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      return (m.getOrElse(0, 0L), m.getOrElse(1, 0L))
+    }
     val rdd = tagged.queryExecution.toRdd
     tagged.sparkSession.sparkContext
       .runJob(rdd, (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {

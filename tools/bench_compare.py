@@ -31,6 +31,7 @@ import sys
 
 def load(path):
     queries, untrendable, cal, cpu_ratio = None, False, None, {}
+    cal_stat = None
     with open(path) as f:
         for line in f:
             if '"metric":"all_queries"' in line:
@@ -40,6 +41,10 @@ def load(path):
             if '"metric":"total"' in line:
                 tot = json.loads(line)
                 untrendable = bool(tot.get("untrendable"))
+                # calibration-methodology marker (r16): "converged" since
+                # r16's artifacts; ABSENT = unmarked — min-of-3 through
+                # r14, converged in r15 (the switch predates the marker)
+                cal_stat = tot.get("cal_stat")
                 pre = tot.get("chain_rows_per_sec")
                 post = tot.get("chain_rows_per_sec_post")
                 both = [x for x in (pre, post) if x]
@@ -60,7 +65,7 @@ def load(path):
                           f"reason={tot.get('untrendable_reason', '-')}")
     if queries is None:
         raise SystemExit(f"no all_queries line in {path}")
-    return queries, untrendable, cal, cpu_ratio
+    return queries, untrendable, cal, cpu_ratio, cal_stat
 
 
 def classify(wall_ratio, cpu_ratio_ratio):
@@ -87,7 +92,7 @@ def classify(wall_ratio, cpu_ratio_ratio):
 def main():
     force = "--force" in sys.argv
     argv = [a for a in sys.argv if a != "--force"]
-    (a, ua, ca, cra), (b, ub, cb, crb) = load(argv[1]), load(argv[2])
+    (a, ua, ca, cra, csa), (b, ub, cb, crb, csb) = load(argv[1]), load(argv[2])
     flagged_inputs = [p for p, u in ((argv[1], ua), (argv[2], ub)) if u]
     if flagged_inputs:
         msg = (f"untrendable input(s) {flagged_inputs}: the bench flagged "
@@ -115,6 +120,20 @@ def main():
     # by cb/ca. The adjustment assumes wall scales ~1/throughput; it is
     # a correction, not a substitute for a same-day A/B.
     day = (cb / ca) if (ca and cb) else None
+    # r16 (ADVICE): the probe statistic changed in r15 (min-of-3 →
+    # converged), which changes what chain_rows_per_sec MEANS on a fast
+    # machine (old quiet-day figures were JIT-capped). A day factor
+    # dividing a converged number by a min-of-3 one is systematically
+    # biased (it can only overstate the newer day, penalizing the newer
+    # round — the honest direction, but a bias). Warn whenever the two
+    # methods are known different or can't be confirmed equal.
+    if day is not None and csa != csb:
+        known = {p: s for p, s in ((argv[1], csa), (argv[2], csb))}
+        print(f"WARNING: calibration methods differ or are unmarked "
+              f"({known}) — unmarked = min-of-3 through r14, converged "
+              f"in r15; the day factor below is CROSS-METHOD and can "
+              f"only penalize the converged side. Treat day-adjusted "
+              f"ratios as a bound, not a measurement.")
     if day is not None:
         print(f"day calibration A={ca:.0f} B={cb:.0f} rows/s; "
               f"day-adjusted B/A={(tb / ta) * day:.3f} "

@@ -36,11 +36,26 @@ RUN_MAIN_ERRF="$OUT/verify.err" \
 }
 python3 tools/check_oracle.py /root/testdata/sf0.01 "$OUT/verify" \
   | tee "$OUT/oracle.txt"
+# Gate the ORACLE STEP ITSELF (r15 ADVICE, medium): with pipefail but no
+# -e, a crashed check_oracle.py used to leave ok=0/bad=0 and the script
+# printed '0 OK, 0 failing' and exited green — a dead correctness gate
+# reporting success. The pipeline status AND a non-zero OK count are
+# both required before the step may pass.
+orc=${PIPESTATUS[0]}
+[ "$orc" -eq 0 ] || {
+  echo "judge_repro: FAIL - check_oracle.py exited $orc (see $OUT/oracle.txt)" >&2
+  exit 1
+}
 ok=$(grep -c '^OK' "$OUT/oracle.txt" || true)
 bad=$(grep -cE '^(MISMATCH|SPARK-MISSING)' "$OUT/oracle.txt" || true)
 echo "oracle: $ok OK, $bad failing"
 [ "$bad" -eq 0 ] || {
   echo "judge_repro: FAIL - $bad oracle mismatches (see $OUT/oracle.txt)" >&2
+  exit 1
+}
+[ "$ok" -gt 0 ] || {
+  echo "judge_repro: FAIL - oracle step produced ZERO OK lines (empty or" \
+       "truncated output is not a pass; see $OUT/oracle.txt)" >&2
   exit 1
 }
 
