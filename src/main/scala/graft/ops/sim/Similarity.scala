@@ -54,7 +54,24 @@ object Similarity {
   /** Rank-explode a TopK aggregate: groupBy(query_id).agg(top-k) →
     * (query_id, neighbor_id, rank). Map-side partial aggregation bounds
     * the shuffle at k rows per task per query — a window row_number here
-    * would shuffle every scored candidate. */
+    * would shuffle every scored candidate.
+    *
+    * Deployment cliff (r16, measured): the typed TopK aggregate plans
+    * as ObjectHashAggregate, and Spark falls back to SORT-BASED
+    * aggregation once a task's hash map exceeds
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128 distinct keys) — NOT a memory limit. Above ~128
+    * queries per task the partial aggregation therefore sorts the
+    * ENTIRE scored candidate stream on disk even though the TopK
+    * buffers it actually needs are ~200 B per query (10k queries ≈
+    * 2 MB). At ×1000 (2M vectors, 10k queries, nProbe 4/16) the
+    * fallback spilled the 5e9-row candidate stream and died ENOSPC at
+    * 59 GB free; with the threshold raised to 128k the same query
+    * holds the whole aggregation in-memory. Deployments running
+    * large query sets through [[lshTopK]]/[[ivfTopK]] should raise
+    * that conf to their expected per-task query-key count; both
+    * operators log a pointed warning when their gate count exceeds
+    * the session's threshold (see [[warnAggFallback]]). */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(TopK.column(k, col("cos"), col("neighbor_id")).as("__tk"))
@@ -132,6 +149,7 @@ object Similarity {
       if (bits == 0) corpus.select(lit(0).as("__side")).unionAll(qIds)
       else qIds)
     val b = if (bits == 0) autoBits(corpusN) else bits
+    warnAggFallback(corpus.sparkSession, qCount, "lshTopK")
     val broadcastPath = qCount <= maxBroadcastQueries
     // Parallelism self-heal (r14, measured): on the broadcast path the
     // probe stage's task count equals the corpus SCAN's split count —
@@ -285,7 +303,15 @@ object Similarity {
     // finalizing its exchanges through toRdd.
     // minHealQueries: the gate floor as a knob (Long.MaxValue disables —
     // the A/B switch, mirroring lshTopK's maxBroadcastQueries role)
-    val cProbe = probeHealWidth(c, oneJobCount(q), minHealQueries) match {
+    // the agg-fallback warning rides the SAME lazy count: warning
+    // eagerly would force the gate job the by-name design exists to
+    // avoid (R15Spec's throwing-thunk pin) — the rankTopK cliff note
+    // carries the guidance for never-counted paths
+    val cProbe = probeHealWidth(c, {
+      val n = oneJobCount(q)
+      warnAggFallback(corpus.sparkSession, n, "ivfTopK")
+      n
+    }, minHealQueries) match {
       case Some(w) =>
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"ivfTopK: split-starved corpus under a large broadcast query " +
@@ -376,6 +402,27 @@ object Similarity {
       case Some(w) if w < floor && qCount >= minQueries => Some(floor)
       case _ => None
     }
+  }
+
+  /** Warn when a top-k query set is large enough that [[rankTopK]]'s
+    * ObjectHashAggregate will fall back to sort-based aggregation (see
+    * the cliff note on [[rankTopK]]): the caller already paid a gate
+    * count, so the check is a conf read + comparison. The warning names
+    * the conf because the operator cannot scope it itself — the
+    * threshold is read by Spark at physical planning from the SESSION,
+    * so only the deployment can raise it. */
+  private def warnAggFallback(spark: org.apache.spark.sql.SparkSession,
+      qCount: Long, op: String): Unit = {
+    val thr = try spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toLong
+    catch { case _: Exception => 128L }
+    if (qCount > thr)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$op: $qCount query keys exceed spark.sql.objectHashAggregate." +
+          s"sortBased.fallbackThreshold=$thr — the top-k partial " +
+          "aggregation will SORT the entire scored candidate stream " +
+          "(disk-bound at scale; x1000 measured ENOSPC). Raise the " +
+          "threshold to your per-task query-key count (~200 B per key).")
   }
 
   /** True iff `plan` is non-adaptive and exchange-free — the

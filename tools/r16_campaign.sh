@@ -96,11 +96,26 @@ case "$CELL" in
     ;;
   ivf_ab)
     # 10k queries keeps the unhealed arm affordable (r15 ×100 lesson);
-    # 16 GiB driver (8 GiB OOMs in the healed 32-task probe stage)
+    # 16 GiB driver (8 GiB OOMs in the healed 32-task probe stage).
+    # fallbackThreshold: rankTopK's partial TopK aggregate holds ONE
+    # ~200 B buffer per query key, but ObjectHashAggregate falls back
+    # to SORT-BASED aggregation above 128 distinct keys per task
+    # (Spark default) — at ×1000 that sorts the entire 5e9-row
+    # candidate stream to disk (~160 GB; the first attempt died
+    # ENOSPC at 59 GB free). 128k keys ≈ 26 MB of TopK buffers —
+    # trivially memory-safe, and both A/B arms share the conf.
+    # IvfTopKAB's query slice is `vec_id % 1000 < nQueries/200`, i.e.
+    # the ARG was calibrated for the ×100 corpus (200k vectors): the
+    # selected count scales with corpus size. At ×1000 (2M vectors)
+    # arg 1000 → vec_id%1000 < 5 → 10k actual queries (the verdict's
+    # cell); the first attempt's arg 10000 selected 100k and its
+    # healed wall (2018.7 s, no spill) is recorded as a capacity row.
+    NQARG="${1:-1000}"
     SPARK_GRAFT_SF_DIR=/tmp/graft_x1000 SPARK_DRIVER_MEM=16g \
-      SPARK_GRAFT_CPUS=32 SPARK_GRAFT_JAVA_OPTS="$FREEZE_OPTS" \
+      SPARK_GRAFT_CPUS=32 \
+      SPARK_GRAFT_JAVA_OPTS="$FREEZE_OPTS -Dspark.sql.objectHashAggregate.sortBased.fallbackThreshold=131072" \
       RUN_MAIN_ERRF=/tmp/r16_ivf_ab.err \
-      cell "ivf_ab" 21600 graft.dev.IvfTopKAB 10000 10 ab
+      cell "ivf_ab" 21600 graft.dev.IvfTopKAB "$NQARG" 10 ab
     ;;
   *)
     say "unknown cell: $CELL"; exit 1
