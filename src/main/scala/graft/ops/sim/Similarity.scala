@@ -69,15 +69,88 @@ object Similarity {
     * 59 GB free; with the threshold raised to 128k the same query
     * holds the whole aggregation in-memory. Deployments running
     * large query sets through [[lshTopK]]/[[ivfTopK]] should raise
-    * that conf to their expected per-task query-key count; both
-    * operators log a pointed warning when their gate count exceeds
-    * the session's threshold (see [[warnAggFallback]]). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
+    * that conf to their expected per-task query-key count.
+    *
+    * THE r17 STRUCTURAL KILL: [[partialTopK]] pre-reduces each
+    * partition to ≤ k rows per query with a bounded JVM heap BEFORE
+    * this aggregation, so the ObjectHashAggregate — and any sort-based
+    * fallback it takes — sees ≤ k rows per query per task instead of
+    * the raw candidate stream. No session conf can turn this operator
+    * into a corpus-candidate disk sort anymore; the default
+    * fallbackThreshold is now harmless (sorting k×queries-per-task
+    * pre-reduced rows, not billions). Verified at ×1000 on the DEFAULT
+    * threshold with digests bit-identical to the r16 raised-threshold
+    * cells (BASELINE.md Round-17). */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    partialTopK(scored, k).groupBy("query_id")
       .agg(TopK.column(k, col("cos"), col("neighbor_id")).as("__tk"))
       .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__s")))
       .select(col("query_id"), col("__s.id").as("neighbor_id"),
         (col("__pos") + 1).cast("int").as("rank"))
+
+  /** Bounded per-query per-partition top-k pre-reduction: one narrow
+    * `mapPartitions` pass holding a k-bounded heap per query key, so
+    * each task emits ≤ k rows per query it saw. The memory this costs
+    * (~k × 32 B per distinct query per task) is exactly what the
+    * downstream TopK aggregation's hash map needed anyway — paid in a
+    * plain JVM map that has no sort-based fallback to fall into.
+    *
+    * Exactness: the heap's keep/evict predicate is the SAME total order
+    * as [[TopK.TopKAggregator]] — (score desc, id asc) — and top-k of a
+    * union equals top-k of the union of per-part top-ks under a total
+    * order, so the final result (and its oracle hash) is bit-identical
+    * to the un-reduced plan; R17Spec pins both the per-task bound and
+    * the equality. `neighbor_id` is cast to long here exactly as the
+    * aggregator's input encoder already did, and `query_id` passes
+    * through untouched (its type is part of the output schema). The
+    * `mapPartitions` is narrow — it runs at the probe stage's own
+    * width, so the r14/r15 parallelism heals above it are unaffected. */
+  private[graft] def partialTopK(scored: DataFrame, k: Int): DataFrame = {
+    val slim = scored.select(col("query_id"),
+      col("neighbor_id").cast("long").as("neighbor_id"),
+      col("cos").cast("double").as("cos"))
+    val enc = org.apache.spark.sql.Encoders.row(slim.schema)
+    slim.mapPartitions { (it: Iterator[org.apache.spark.sql.Row]) =>
+      // worst-first min-heap under the (score desc, id asc) total
+      // order: peek() is the entry a better candidate evicts
+      val worstFirst = new java.util.Comparator[TopK.Scored] {
+        def compare(a: TopK.Scored, b: TopK.Scored): Int = {
+          val c = java.lang.Double.compare(a.score, b.score)
+          if (c != 0) c else java.lang.Long.compare(b.id, a.id)
+        }
+      }
+      val heaps =
+        new java.util.HashMap[Any, java.util.PriorityQueue[TopK.Scored]]()
+      while (it.hasNext) {
+        val r = it.next()
+        val q = r.get(0); val id = r.getLong(1); val s = r.getDouble(2)
+        var h = heaps.get(q)
+        if (h == null) {
+          h = new java.util.PriorityQueue[TopK.Scored](k, worstFirst)
+          heaps.put(q, h)
+        }
+        if (h.size < k) h.add(TopK.Scored(s, id))
+        else {
+          val w = h.peek() // same keep predicate as TopKAggregator.better
+          if (s > w.score || (s == w.score && id < w.id)) {
+            h.poll(); h.add(TopK.Scored(s, id))
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      val eit = heaps.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        val hit = e.getValue.iterator()
+        while (hit.hasNext) {
+          val x = hit.next()
+          out += org.apache.spark.sql.Row(e.getKey, x.id, x.score)
+        }
+      }
+      out.iterator
+    }(enc)
+  }
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows (excluding itself), ties broken by corpus id.
@@ -149,7 +222,6 @@ object Similarity {
       if (bits == 0) corpus.select(lit(0).as("__side")).unionAll(qIds)
       else qIds)
     val b = if (bits == 0) autoBits(corpusN) else bits
-    warnAggFallback(corpus.sparkSession, qCount, "lshTopK")
     val broadcastPath = qCount <= maxBroadcastQueries
     // Parallelism self-heal (r14, measured): on the broadcast path the
     // probe stage's task count equals the corpus SCAN's split count —
@@ -303,15 +375,7 @@ object Similarity {
     // finalizing its exchanges through toRdd.
     // minHealQueries: the gate floor as a knob (Long.MaxValue disables —
     // the A/B switch, mirroring lshTopK's maxBroadcastQueries role)
-    // the agg-fallback warning rides the SAME lazy count: warning
-    // eagerly would force the gate job the by-name design exists to
-    // avoid (R15Spec's throwing-thunk pin) — the rankTopK cliff note
-    // carries the guidance for never-counted paths
-    val cProbe = probeHealWidth(c, {
-      val n = oneJobCount(q)
-      warnAggFallback(corpus.sparkSession, n, "ivfTopK")
-      n
-    }, minHealQueries) match {
+    val cProbe = probeHealWidth(c, oneJobCount(q), minHealQueries) match {
       case Some(w) =>
         org.slf4j.LoggerFactory.getLogger(getClass).info(
           s"ivfTopK: split-starved corpus under a large broadcast query " +
@@ -404,27 +468,6 @@ object Similarity {
     }
   }
 
-  /** Warn when a top-k query set is large enough that [[rankTopK]]'s
-    * ObjectHashAggregate will fall back to sort-based aggregation (see
-    * the cliff note on [[rankTopK]]): the caller already paid a gate
-    * count, so the check is a conf read + comparison. The warning names
-    * the conf because the operator cannot scope it itself — the
-    * threshold is read by Spark at physical planning from the SESSION,
-    * so only the deployment can raise it. */
-  private def warnAggFallback(spark: org.apache.spark.sql.SparkSession,
-      qCount: Long, op: String): Unit = {
-    val thr = try spark.conf.get(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toLong
-    catch { case _: Exception => 128L }
-    if (qCount > thr)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"$op: $qCount query keys exceed spark.sql.objectHashAggregate." +
-          s"sortBased.fallbackThreshold=$thr — the top-k partial " +
-          "aggregation will SORT the entire scored candidate stream " +
-          "(disk-bound at scale; x1000 measured ENOSPC). Raise the " +
-          "threshold to your per-task query-key count (~200 B per key).")
-  }
-
   /** True iff `plan` is non-adaptive and exchange-free — the
     * precondition for driving its RDD directly ([[lazyScanWidth]],
     * [[oneJobCount]], [[sideCounts]]): `toRdd` on a plan AQE wrapped in
@@ -468,23 +511,40 @@ object Similarity {
     * the r15 guard's blanket AQE refusal left on the table. The AQE
     * shell is unwrapped for INSPECTION only (via `inputPlan`, never
     * finalized); any exchange, unbuilt cache, or other AQE trigger
-    * (e.g. a subquery) under the shell still refuses. */
+    * (e.g. a subquery) under the shell still refuses.
+    *
+    * Width-changing narrow nodes (r16 ADVICE, closed r17): the cached
+    * RDD's partition count answers for the ROOT's width only while
+    * every node between the cache scan and the root preserves
+    * partition count — `coalesce` (CoalesceExec) and `union`
+    * (UnionExec) don't, and a cartesian product multiplies widths, so
+    * a 32-partition cache coalesced to 1 used to report 32 and skip a
+    * needed heal (perf-only, results stayed correct). Those nodes are
+    * now hazards in the AQE branch; the metadata answer is taken only
+    * when the cache scan is the sole partitioning-relevant node.
+    * R17Spec pins coalesce and union over a built cache → None. */
   private[graft] def lazyScanWidth(df: DataFrame): Option[Int] = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.{CoalesceExec, UnionExec}
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     def unbuilt(s: InMemoryTableScanExec): Boolean =
       !s.relation.cacheBuilder.isCachedColumnBuffersLoaded
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec =>
         // driving toRdd would finalize the adaptive plan; the one shape
         // still answerable with zero jobs is a BUILT cache scan under
-        // narrow operators (width = the cached RDD's partition count)
+        // narrow WIDTH-PRESERVING operators (width = the cached RDD's
+        // partition count)
         val in = a.inputPlan
         val hazard = in.exists {
           case _: Exchange => true
           case _: AdaptiveSparkPlanExec => true
           case s: InMemoryTableScanExec => unbuilt(s)
+          case _: CoalesceExec => true
+          case _: UnionExec => true
+          case _: CartesianProductExec => true
           case _ => false
         }
         if (hazard) None

@@ -134,6 +134,17 @@ def main():
               f"in r15; the day factor below is CROSS-METHOD and can "
               f"only penalize the converged side. Treat day-adjusted "
               f"ratios as a bound, not a measurement.")
+    elif day is not None and csa is None and csb is None:
+        # r16 ADVICE: two UNMARKED artifacts pass the != test (None ==
+        # None) yet may still have used different methods — exactly the
+        # biased comparison the warning above describes, just
+        # unconfirmable. Unmarked means pre-marker (r14 or earlier =
+        # min-of-3) OR a hand-built artifact; equality is an assumption.
+        print("WARNING: BOTH artifacts are unmarked (no cal_stat) — the "
+              "calibration methods cannot be confirmed equal, and a day "
+              "factor is being applied. If either artifact predates r15 "
+              "and the other does not, this is the cross-method bias in "
+              "disguise. Treat day-adjusted ratios as a bound.")
     if day is not None:
         print(f"day calibration A={ca:.0f} B={cb:.0f} rows/s; "
               f"day-adjusted B/A={(tb / ta) * day:.3f} "

@@ -59,6 +59,35 @@ echo "oracle: $ok OK, $bad failing"
   exit 1
 }
 
+# Driver-artifact guard (r16 verdict #2): CORRECTNESS_r16.json landed as
+# an empty {} and nothing in the repo flagged it — the round's formal
+# correctness signal went missing unremarked. Diff the driver artifact
+# against what Verify just dumped: the CURRENT round's artifact (round =
+# VERDICT.md header + 1), when present, must be non-empty and cover the
+# registry (hard FAIL); a missing current artifact is normal mid-round
+# (the driver writes it at round close) but the NEWEST prior artifact
+# being empty is shouted so it can never again slip by silently.
+cur=$(( $(sed -n 's/^# VERDICT — round \([0-9]*\).*/\1/p' VERDICT.md | head -1) + 1 ))
+if [ -f "CORRECTNESS_r${cur}.json" ]; then
+  echo "== 2.5/3 driver artifact guard (CORRECTNESS_r${cur}.json) =="
+  python3 tools/correctness_guard.py "CORRECTNESS_r${cur}.json" "$OUT/verify" || {
+    echo "judge_repro: FAIL - driver artifact CORRECTNESS_r${cur}.json is" \
+         "empty/incomplete (the r16 {} condition) — the round has no formal" \
+         "correctness signal" >&2
+    exit 1
+  }
+else
+  newest=$(ls CORRECTNESS_r*.json 2>/dev/null | sort -V | tail -1)
+  echo "== 2.5/3 driver artifact guard: CORRECTNESS_r${cur}.json not yet" \
+       "written (driver runs at round close) =="
+  if [ -n "$newest" ] && ! python3 -c \
+      "import json,sys; d=json.load(open('$newest')); sys.exit(0 if d else 1)" \
+      2>/dev/null; then
+    echo "judge_repro: WARNING - newest driver artifact $newest is EMPTY" \
+         "(known r16 condition) — the CURRENT round must land a non-empty one"
+  fi
+fi
+
 echo "== 3/3 recorded sf0.1 bench (quiet-gated; may refuse) =="
 if tools/recorded_bench.sh "$OUT/bench.json"; then
   grep -o '"untrendable[^,}]*' "$OUT/bench.json" && \

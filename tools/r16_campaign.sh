@@ -13,8 +13,11 @@
 #   The r12 991.3 s pin ran on the DIRECT recipe (ScaleGen sf0.1 →
 #   x1000, N=1000, suffixWords=1), which no longer exists on disk.
 #
-# Cells (each takes quiet_guard; the caller holds ONE flock window for
-# a back-to-back sequence so nothing interleaves):
+# Cells (each takes quiet_guard; for a back-to-back sequence the
+# caller holds ONE flock window on /tmp/graft_campaign.lock and exports
+# CAMPAIGN_LOCK_HELD=1 so each invocation trusts the parent's lock —
+# flock is exclusive across open file descriptions even in one process,
+# so re-acquiring here would refuse against the caller's own window):
 #   probe        converged ThroughputBench at sf0.1 — the day figure
 #   minhash head ×1000 dedup_minhash, HEAD classpath snapshot, 1 pass
 #   minhash r12  same cell on the FROZEN r12 classpath
@@ -60,10 +63,16 @@ cell() {
 CELL="${1:?usage: r16_campaign.sh <probe|minhash head|minhash r12|simhash|semlsh|ivf_ab> }"; shift || true
 
 # one flock window around whatever sequence the caller scripts; cells
-# are also runnable one-by-one (each acquire-and-release)
-exec 9>>/tmp/graft_campaign.lock
-flock -n 9 || { say "refused: campaign window already open (flock)"; exit 1; }
-echo $$ > /tmp/graft_campaign.lock
+# are also runnable one-by-one (each acquire-and-release).
+# Inherited-lock escape hatch (r16 ADVICE): flock is exclusive across
+# open file descriptions even within one process, so a wrapper that
+# already holds the window CANNOT let each cell re-acquire — it exports
+# CAMPAIGN_LOCK_HELD=1 instead and this script trusts the parent's lock.
+if [ "${CAMPAIGN_LOCK_HELD:-0}" != 1 ]; then
+  exec 9>>/tmp/graft_campaign.lock
+  flock -n 9 || { say "refused: campaign window already open (flock)"; exit 1; }
+  echo $$ > /tmp/graft_campaign.lock
+fi
 
 case "$CELL" in
   probe)
