@@ -256,9 +256,11 @@ object Similarity {
       }
     } else c0
     val c = cPre
-      .withColumn("__bucket", explode(CosineLsh.buckets(col("__ce"), b, dim, tables)))
+      .withColumn("__ba", CosineLsh.buckets(col("__ce"), b, dim, tables))
+      .withColumn("__bucket", explode(col("__ba")))
     val q = q0
-      .withColumn("__bucket", explode(CosineLsh.buckets(col("__qe"), b, dim, tables)))
+      .withColumn("__bb", CosineLsh.buckets(col("__qe"), b, dim, tables))
+      .withColumn("__bucket", explode(col("__bb")))
     val qSide =
       if (broadcastPath) broadcast(q)
       else {
@@ -268,16 +270,31 @@ object Similarity {
             "(broadcast of a corpus-sized query side would OOM)")
         q.hint("merge")
       }
-    // cosine BEFORE the pair-dedup: the distinct shuffle then moves
-    // (query_id, neighbor_id, cos) — ~24 bytes — instead of dragging both
-    // embedding arrays (~1 KB/row) through the exchange; re-scoring a
-    // pair that collides in several tables is 64 FLOPs, far cheaper than
-    // shuffling its vectors once
+    // Emit-once instead of pair-dedup (r17 — similarityJoin's trick,
+    // applied to its top-k sibling): both sides carry their full
+    // bucket-key array (tables × ~12 B — noise next to the vector), and
+    // a pair survives only in its FIRST shared bucket in table order,
+    // so every candidate pair leaves the join exactly once and the old
+    // `dropDuplicates(query_id, neighbor_id)` EXCHANGE — which moved
+    // the entire candidate stream (×1000 measured: 5.6 GB shuffle write
+    // in the probe stage) and couldn't map-side-collapse cross-table
+    // dups (they surface in different partitions) — is gone entirely.
+    // The invariant is the same one R9Spec pins for similarityJoin:
+    // bucket keys are namespaced "t:code", so __ba has `tables`
+    // DISTINCT entries and "first shared bucket" is unique per pair.
+    // The intersect check runs BEFORE the cosine: a tables-element
+    // array intersect is cheaper than the 64-dim dot it skips on the
+    // other tables' copies of a multi-collision pair. With rankTopK's
+    // partialTopK pre-reduce below, the broadcast path's ONLY exchange
+    // is now the k-bounded groupBy — nothing candidate-stream-sized
+    // ever shuffles.
     val scored = c.join(qSide, Seq("__bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .where(element_at(
+        filter(col("__ba"), x => array_contains(col("__bb"), x)), 1)
+        === col("__bucket"))
       .withColumn("cos", cosine(col("__qe"), col("__ce")))
       .select("query_id", "neighbor_id", "cos")
-      .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
 

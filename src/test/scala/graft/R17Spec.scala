@@ -103,6 +103,29 @@ class R17Spec extends AnyFunSuite {
     assert(pre.where(col("query_id").startsWith("q")).count() == pre.count())
   }
 
+  // ── lshTopK emit-once: no duplicate pairs without a dedup exchange ──
+
+  test("lshTopK emits each (query, neighbor) pair at most once under " +
+      "multi-table collisions (emit-once replaced dropDuplicates)") {
+    // clone clusters: groups of identical vectors collide in EVERY
+    // table, the maximal multi-collision shape — if a pair could leak
+    // once per table, a neighbor would appear several times in a top-k
+    val base = vecs(40)
+    val corpus = (0 until 4).map(i =>
+      base.select((col("vec_id") + lit(i * 1000)).as("vec_id"),
+        col("embedding"))).reduce(_ unionAll _)
+    val res = Similarity.lshTopK(corpus, base.filter(col("vec_id") < 8),
+      "embedding", "vec_id", k = 6, bits = 8)
+    val dup = res.groupBy("query_id", "neighbor_id").count()
+      .where(col("count") > 1)
+    assert(dup.isEmpty, "a candidate pair was emitted more than once")
+    // and ranks stay dense 1..k per query
+    val bad = res.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .where(col("n") =!= col("mx"))
+    assert(bad.isEmpty, "rank sequence not dense — duplicate or lost rows")
+  }
+
   // ── lazyScanWidth: width-changing narrow nodes refuse (r16 ADVICE) ──
 
   test("lazyScanWidth refuses coalesce and union over a BUILT cache") {
