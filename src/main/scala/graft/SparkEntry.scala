@@ -1308,23 +1308,65 @@ object SparkEntry {
           expr(s"least((__ns - ${lo}L) * 3 div ${hi - lo + 1}L, 2L)")).drop("__ns")
         val dirP = java.nio.file.Files.createTempDirectory("graft_sdh")
         val qn = "sdh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        // r17 (guide §2.4/§2.3 — measured with dev.StreamDedupProbe): the
+        // old staging ran THREE serial filter+coalesce(1) write jobs, each
+        // a single-threaded full scan of events (~0.9 s/pass warm). One
+        // hash-repartition on the tier value + partitionBy writes all
+        // three tier files in one job (the scan stays parallel; each tier
+        // lands wholly in one task, so each __pt dir holds exactly one
+        // file): ~0.5 s/pass warm, identical bytes per tier.
+        var ss: SparkSession = null
         try {
-          (0 to 2).foreach { i =>
-            val w = java.nio.file.Files.createTempDirectory(s"graft_sdh_w$i")
-            try {
-              tiered.filter(col("tier") === i).coalesce(1)
-                .write.mode("overwrite").parquet(w.toString)
-              val parts = java.nio.file.Files.list(w).iterator()
-              scala.jdk.CollectionConverters.IteratorHasAsScala(parts).asScala
-                .find(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-                  val dst = java.nio.file.Files.copy(f, dirP.resolve(f"b$i%02d.parquet"))
-                  // file source replays oldest-mtime-first: pin batch order
-                  java.nio.file.Files.setLastModifiedTime(dst,
-                    java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
-                }
-            } finally deleteRecursively(w)
-          }
-          val stream = s.readStream.schema(tiered.schema)
+          val w = java.nio.file.Files.createTempDirectory("graft_sdh_w")
+          try {
+            tiered.withColumn("__pt", col("tier"))
+              .repartition(col("__pt"))
+              .write.mode("overwrite").partitionBy("__pt").parquet(w.toString)
+            (0 to 2).foreach { i =>
+              val td = w.resolve(s"__pt=$i")
+              // an empty tier writes no directory (tiny-SF correctness
+              // runs) — same as the old find-none behavior: stage nothing
+              if (java.nio.file.Files.isDirectory(td)) {
+                val parts = java.nio.file.Files.list(td).iterator()
+                scala.jdk.CollectionConverters.IteratorHasAsScala(parts).asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet")).toSeq match {
+                    case Seq(f) =>
+                      val dst = java.nio.file.Files.copy(f, dirP.resolve(f"b$i%02d.parquet"))
+                      // file source replays oldest-mtime-first: pin batch order
+                      java.nio.file.Files.setLastModifiedTime(dst,
+                        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+                    case fs => throw new IllegalStateException(
+                      s"tier $i staged ${fs.size} files (hash repartition must " +
+                        "place one tier in one task)")
+                  }
+              }
+            }
+          } finally deleteRecursively(w)
+          // State width derived from the staged volume (guide §2.2 "fewer,
+          // larger partitions", measured with dev.StreamDedupProbe): a
+          // stateful streaming query pins its state width to
+          // spark.sql.shuffle.partitions at start, and every micro-batch
+          // pays a per-partition state-store load + commit (delta file +
+          // fsync) REGARDLESS of rows — at the bench's 2 MB staged input,
+          // 32-wide state made each of the 4 micro-batches (3 data + the
+          // watermark-eviction batch) a 2-4 s addBatch of almost pure
+          // store-commit overhead. Width scales with the bytes each
+          // micro-batch actually carries (one staged tier file), capped at
+          // the session's own shuffle width so a big-corpus run keeps the
+          // deployment's configured parallelism — nothing here is a
+          // local[32] constant. The kept SET is state-width-invariant
+          // (DISTINCT keys), so the oracle hash is unchanged.
+          val maxFileBytes = (0 to 2).map(i => dirP.resolve(f"b$i%02d.parquet"))
+            .filter(p => java.nio.file.Files.exists(p))
+            .map(java.nio.file.Files.size(_)).foldLeft(0L)(math.max)
+          val sessionW = s.conf.get("spark.sql.shuffle.partitions").toInt
+          val stateW = math.max(1L, math.min(sessionW.toLong,
+            (maxFileBytes + (32 << 20) - 1) / (32 << 20))).toInt
+          // a sibling session scopes the width to THIS streaming query —
+          // the caller's session conf is never mutated
+          ss = s.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", stateW)
+          val stream = ss.readStream.schema(tiered.schema)
             .option("maxFilesPerTrigger", 1).parquet(dirP.toString)
           val out = Streaming.streamingDedup(stream,
               concat_ws(":", col("tier"), col("user_id")), watermark = "10 minutes")
@@ -1338,11 +1380,11 @@ object SparkEntry {
           // the memory sink already held exactly these rows (the distinct
           // (tier, user_id) key set — bounded by key cardinality, not by
           // the event count).
-          val rows = s.table(qn).collect()
-          val schema = s.table(qn).schema
+          val rows = ss.table(qn).collect()
+          val schema = ss.table(qn).schema
           s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         } finally {
-          s.catalog.dropTempView(qn)
+          if (ss != null) ss.catalog.dropTempView(qn)
           deleteRecursively(dirP)
         }
       }
