@@ -16,10 +16,19 @@
 #              healed 250.3 s / unhealed 3046.9 s, digest
 #              2682960204340988367, rows 100000. Matching walls at the
 #              DEFAULT threshold = the cliff is dead structurally.
-#   lsh_x1000  LshTopKAB 50000 10 ab on /tmp/graft_x1000. r15 pin:
-#              broadcast+heal 434.8 s / fallback 224.5 s, digest
-#              -5137377157373334248, rows 500000 (verify the corpus is
-#              still the one that produced it — regenerated mid-r15).
+#   lsh_x1000  LshTopKAB 5000 10 ab on /tmp/graft_x1000 (50k queries —
+#              the r15 pin's slice; the `vec_id % 1000 < arg/200` slice
+#              selects 10x the queries at x1000, so arg 50000 would be
+#              500k queries, NOT the pin: the ivf calibration trap,
+#              corrected r17). r15 pin: broadcast+heal 434.8 s /
+#              fallback 224.5 s, digest -5137377157373334248, rows
+#              500000. r17 result: 119.8 s / 63.2 s, digest IDENTICAL.
+#   lsh_x1000_cap500k  LshTopKAB 50000 10 ab — the 500k-query capacity
+#              shape (5x over MaxBroadcastQueries, broadcast forced in
+#              arm A): the key-count regime whose aggregation died
+#              ENOSPC on defaults before the pre-reduce. r17 result:
+#              881.2 s / 427.1 s, both arms digest
+#              -8472316035236962223, rows 5,000,000.
 #
 # Corpus (unchanged from r16, sampled): /tmp/graft_x1000 = COMPOSED
 # recipe (ScaleGen sf0.1 → x100 [suffixWords=1] → x1000 [10, 25]).
@@ -90,7 +99,14 @@ case "$CELL" in
       SPARK_GRAFT_CPUS=32 RUN_MAIN_CP="$CPSNAP" \
       SPARK_GRAFT_JAVA_OPTS="$FREEZE_OPTS" \
       RUN_MAIN_ERRF=/tmp/r17_lsh_x1000.err \
-      cell "lsh_x1000" 7200 graft.dev.LshTopKAB 50000 10 ab
+      cell "lsh_x1000" 7200 graft.dev.LshTopKAB 5000 10 ab
+    ;;
+  lsh_x1000_cap500k)
+    SPARK_GRAFT_SF_DIR=/tmp/graft_x1000 SPARK_DRIVER_MEM=16g \
+      SPARK_GRAFT_CPUS=32 RUN_MAIN_CP="$CPSNAP" \
+      SPARK_GRAFT_JAVA_OPTS="$FREEZE_OPTS" \
+      RUN_MAIN_ERRF=/tmp/r17_lsh_x1000_cap500k.err \
+      cell "lsh_x1000_cap500k" 7200 graft.dev.LshTopKAB 50000 10 ab
     ;;
   *)
     say "unknown cell: $CELL"; exit 1
