@@ -518,12 +518,27 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
         shiftright(col("__sig"), s * segBits)
           .bitwiseAND((1L << segWidth(s)) - 1))): _*))
     val banded = reps.withColumn("__seg", seg)
-    // segment stats as window aggregates — same one-fewer-exchange /
-    // no-stats-join reasoning as MinHashDeduplicateFilter.duplicateIds
-    val wSeg = Window.partitionBy(col("__seg"))
+    // Segment stats as window aggregates — same one-fewer-exchange /
+    // no-stats-join reasoning as MinHashDeduplicateFilter.duplicateIds.
+    // r17 (guide §2.4): the window is ORDERED over the full frame so
+    // `first(__sig)` also yields the bucket-minimum row's SIGNATURE in
+    // the same Window node. The big-bucket star path used to fetch
+    // sig_i/sig_j by joining BACK to `reps` on i and then j — two
+    // corpus-sized merge joins (each an exchange + sort over a full
+    // re-computation of the scan→simhash→identical-collapse lineage,
+    // keyed by orderKey so no other exchange could be reused) that ran
+    // at EVERY scale even when no bucket overflowed the cap, because
+    // the join sides don't know the overflow set is empty. The banded
+    // row already carries sig_j, and sig_i is a per-segment constant —
+    // plan-wide: 15 → 9 Exchanges, 3 → 1 SortMergeJoins, 2 fewer
+    // corpus lineage recomputations; the added sort by (__seg, orderKey)
+    // is absorbed by the candidate join's own required sort order.
+    val wSeg = Window.partitionBy(col("__seg")).orderBy(col(orderKey))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val bandedS = banded
       .withColumn("__cnt", count(lit(1)).over(wSeg))
       .withColumn("__bmin", min(col(orderKey)).over(wSeg))
+      .withColumn("__bminsig", first(col("__sig")).over(wSeg))
     val small = bandedS.filter(col("__cnt") <= maxBandBucket)
     val l = small.select(col(orderKey).as("i"), col("__sig").as("sig_i"), col("__seg"))
     val r = small.select(col(orderKey).as("j"), col("__sig").as("sig_j"), col("__seg"))
@@ -531,10 +546,8 @@ final case class SimHashDeduplicateFilter(inputKey: String = "text",
       .select(col("i"), col("j"), col("sig_i"), col("sig_j"))
     val bigSigs = bandedS.filter(col("__cnt") > maxBandBucket)
     val candBig = bigSigs.filter(col(orderKey) =!= col("__bmin"))
-      .select(col("__bmin").as("i"), col(orderKey).as("j"), col("__seg"))
-      .join(reps.select(col(orderKey).as("i"), col("__sig").as("sig_i")).hint("merge"), Seq("i"))
-      .join(reps.select(col(orderKey).as("j"), col("__sig").as("sig_j")).hint("merge"), Seq("j"))
-      .select(col("i"), col("j"), col("sig_i"), col("sig_j"))
+      .select(col("__bmin").as("i"), col(orderKey).as("j"),
+        col("__bminsig").as("sig_i"), col("__sig").as("sig_j"))
     val bandDups = candSmall.union(candBig)
       .where(bit_count(col("sig_i").bitwiseXOR(col("sig_j"))) <= hammingK)
       .select(col("j").as(orderKey))
