@@ -136,6 +136,24 @@ object kernels {
     out
   }
 
+  /** Exact Jaccard over two SORTED-distinct long arrays — the scalar
+    * twin of the [[graft.functions.JaccardSorted]] expression (same
+    * merge walk, same int-counter division, same union==0 → 1.0), for
+    * imperative kernels whose keep/drop decisions must be bit-identical
+    * to the expression's and to the SQL oracle's. */
+  def jaccardSorted(x: Array[Long], y: Array[Long]): Double = {
+    val n = x.length; val m = y.length
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val xa = x(i); val yb = y(j)
+      if (xa == yb) { inter += 1; i += 1; j += 1 }
+      else if (xa < yb) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
   /** LSH band bucket keys from the hashed shingle set: minhash signature
     * of `numPerm` permutations, split into `bands` bands of
     * numPerm/bands rows; key = "band:hash(rows)". Empty input → no keys

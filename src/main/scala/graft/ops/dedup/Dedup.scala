@@ -83,8 +83,8 @@ final case class NgramHashDeduplicateFilter(inputKey: String = "text",
 /** MinHash + LSH-banding near-dedup
   * (`minhash_deduplicate_filter.py:9-88`: datasketch MinHash 128 perms,
   * threshold 0.9). Pipeline: shingle → 128-perm minhash signature → 32
-  * band keys → self-join on (band, key) with the EXACT Jaccard verify
-  * scored INSIDE the join (ids-only exchanges) → drop the later row of
+  * band keys → ONE band-keyed exchange + per-bucket witness walk with
+  * the EXACT Jaccard verify (ids-only output) → drop the later row of
   * every similar pair. */
 final case class MinHashDeduplicateFilter(inputKey: String = "text",
     orderKey: String = "doc_id", ngram: Int = 3, numPerm: Int = 128,
@@ -124,13 +124,6 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     val (np, nb) = (numPerm, bands)
     udf { hs: Seq[Long] => graft.functions.kernels.minhashBandKeysPacked(hs, np, nb) }
   }
-
-  /** Exact Jaccard over two SORTED long arrays — a codegen'd in-place
-    * merge walk ([[graft.functions.JaccardSorted]]). It runs once per
-    * shared band per candidate pair, so a per-call array copy (the UDF
-    * form) would dominate the job's allocation at scale. */
-  private def jaccard(x: Column, y: Column): Column =
-    graft.functions.expressions.jaccardSorted(x, y)
 
   def apply(df: DataFrame): DataFrame = {
     // The shingle table feeds the identical-set window, the banding pass,
@@ -188,15 +181,15 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
     * One small agg over the already-persisted shingle table; corpora
     * under the budget keep the single-job plan bit for bit.
     *
-    * The budget governs a wave's PEAK on-disk bytes, which is ~3× the
-    * wave's banded-table slice, not 1×: within one wave the band
-    * window's exchange AND the two sorted sides of the merge self-join
-    * each hold a copy (the join sides are differently-projected — i/sh_i
-    * vs j/sh_j — so ReuseExchange cannot collapse them), and none of the
-    * three can be reclaimed until the wave's job finishes. Measured at
-    * ×1000: a 5-wave split sized 1× (~21 GB/wave nominal) actually
-    * peaked ~60 GB of wave scratch and filled the disk mid-sort-spill;
-    * the ×3 accounting below keeps the real peak at the budget. */
+    * The budget governs a wave's PEAK on-disk bytes, which since the
+    * r18 witness walk is ~2× the wave's banded-table slice, not 1×:
+    * the wave holds the band exchange's shuffle files (1×) plus the
+    * reduce-side (__band, orderKey) sort's spill (≤1× — it re-spills
+    * the fetched slice), and neither can be reclaimed until the wave's
+    * job finishes. (The pre-r18 merge self-join held THREE copies —
+    * window exchange + two differently-projected sorted join inputs —
+    * measured at ×1000 when a 5-wave split sized 1× peaked ~60 GB and
+    * filled the disk mid-sort-spill.) */
   private[graft] def bandGroupCount(withSh: DataFrame): Int = {
     val row = withSh.agg(
       sum(size(col("__sh"))).cast("long"), count(lit(1))).first()
@@ -211,8 +204,9 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
       if (scratchBudgetBytes > 0) scratchBudgetBytes
       else MinHashDeduplicateFilter.autoScratchBudget(withSh.sparkSession)
     // 8 B per shingle hash + ~48 B/row of band key, id, and row headers,
-    // ×3 concurrent on-disk copies per wave (window exchange + 2 join sides)
-    val bandedBytes = (shEntries * 8L + rows * 48L) * bands * 3L
+    // ×2 concurrent on-disk copies per wave (band exchange + walk sort
+    // spill; the pre-r18 join shape held 3 — see the scaladoc)
+    val bandedBytes = (shEntries * 8L + rows * 48L) * bands * 2L
     val g = ((bandedBytes + budget - 1) / budget).toInt
     val groups = math.max(1, math.min(bands, g))
     // scale-evidence breadcrumb: when waves engage, record the estimate
@@ -260,53 +254,124 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
   /** LSH verify over a banded table (orderKey, __sh, __band): the ids of
     * rows similar to an earlier row in a shared band bucket.
     *
-    * Banding carries the shingle array through the band shuffle (one
-    * replica per band — LINEAR in corpus size) so the exact verify runs
-    * INSIDE the band self-join, same score-before-shuffle shape as
-    * SemDeduplicateFilter: only surviving duplicate ids (one long each)
-    * ever reach an exchange. The alternative — distinct the candidate
-    * PAIRS first, then join the arrays back per pair — verifies each
-    * pair once instead of once per shared band, but its array-fetch
-    * joins shuffle (pairs × both arrays), which is QUADRATIC in
-    * near-dup-cluster size: a ×100 scale run (100-way near-dup
-    * clusters) ran that shape out of heap. Re-walking a pair that
-    * shares several bands costs ≤ bands cheap merge-walks and is
-    * embarrassingly parallel; the per-pair j's collapse map-side in
-    * the final distinct. */
-  private def bandVerifyDups(banded: DataFrame): DataFrame = {
-    // Residual near-identical (but not identical) clusters can still
-    // produce hot buckets: cap them. Buckets ≤ maxBandBucket pair
-    // all-vs-all (exact); larger buckets pair members against the bucket
-    // minimum only — a documented approximation that can miss borderline
-    // pairs between two later members of a >cap bucket.
-    // Bucket count and minimum as WINDOW aggregates over __band: the
-    // band self-join below already needs hashpartitioning(__band), and a
-    // whole-partition window computes both stats in that SAME exchange —
-    // the old groupBy(__band).agg + join-back shape cost one extra
-    // corpus-sized band-keyed exchange and reopened the static-estimate
-    // broadcast question for the stats join (which OOM'd a ×100 run
-    // before it was merge-hinted). A window has no join to mis-plan.
-    val wBand = Window.partitionBy(col("__band"))
-    val bandedS = banded
-      .withColumn("__cnt", count(lit(1)).over(wBand))
-      .withColumn("__bmin", min(col(orderKey)).over(wBand))
-    val small = bandedS.filter(col("__cnt") <= maxBandBucket)
-    val l = small.select(col("__band"), col(orderKey).as("i"), col("__sh").as("sh_i"))
-    val r = small.select(col("__band"), col(orderKey).as("j"), col("__sh").as("sh_j"))
-    val dupsSmall = l.join(r.hint("merge"), Seq("__band")).where(col("i") < col("j"))
-      .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
-      .select(col("j").as(orderKey))
-    val big = bandedS.filter(col("__cnt") > maxBandBucket)
-    // the bucket minimum is itself a member of the bucket, so its array
-    // is already in `big` — no join back to reps
-    val minArr = big.filter(col(orderKey) === col("__bmin"))
-      .select(col("__band"), col("__sh").as("sh_i"))
-    val dupsBig = big.filter(col(orderKey) =!= col("__bmin"))
-      .select(col("__band"), col(orderKey).as("j"), col("__sh").as("sh_j"))
-      .join(minArr.hint("merge"), Seq("__band"))
-      .where(jaccard(col("sh_i"), col("sh_j")) >= threshold)
-      .select(col("j").as(orderKey))
-    dupsSmall.union(dupsBig)
+    * r18 (guide §2.3/§2.4): a streaming per-bucket WITNESS WALK — one
+    * hash exchange on __band + in-partition sort by (__band, orderKey),
+    * then a bounded-memory pass — replaces the former band merge
+    * SELF-JOIN. The join shape referenced the banded table twice with
+    * different projections, so the whole corpus lineage (scan → shingle
+    * UDF → identical-collapse window → band explode → band window) was
+    * planned, computed, and SPILLED once per side: three concurrent
+    * corpus×bands-sized on-disk copies per wave (window exchange + two
+    * sorted join inputs) and C(m,2) Jaccard walks per m-member bucket.
+    * Dedup only needs ONE earlier witness per dropped row (the same
+    * argument as SemDeduplicateFilter's walk), so the walk early-exits
+    * on the first hit — a bucket of m mutual near-dups costs ~m merge
+    * walks instead of C(m,2) — while a bucket of dissimilar rows still
+    * pays every i<j pair, exactly the join's worst case, minus the join
+    * machinery. Only duplicate ids (one long each) ever leave the walk.
+    *
+    * The drop set is IDENTICAL to the join's by construction:
+    *  - bucket ≤ maxBandBucket: the join emitted j iff SOME i < j in the
+    *    bucket had Jaccard ≥ threshold; the walk tests exactly those i
+    *    in ascending order and stops at the first witness. Same set,
+    *    same Jaccard kernel (kernels.jaccardSorted = the JaccardSorted
+    *    expression's merge walk, bit for bit).
+    *  - bucket > maxBandBucket: the join paired non-min members against
+    *    the bucket-minimum row(s) only; the walk freezes its pool at the
+    *    min-orderKey member(s) the moment the bucket overflows the cap
+    *    (sorted input: the min rows are the buffer's head) and verifies
+    *    the rest against that pool — the same documented approximation.
+    *  - rows sharing an orderKey value never pair (the join's strict
+    *    i < j); the walk skips equal-key pairs explicitly. */
+  private[graft] def bandVerifyDups(banded: DataFrame): DataFrame = {
+    val parted = banded
+      .select(col("__band"), col(orderKey), col("__sh"))
+      .repartition(col("__band"))
+      .sortWithinPartitions(col("__band"), col(orderKey))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      Seq(banded.schema(orderKey)))
+    val (cap, th) = (maxBandBucket, threshold)
+    import org.apache.spark.sql.{Encoders, Row}
+    parted.mapPartitions { it =>
+      val rows = it.buffered
+      new Iterator[Row] {
+        private val out = new scala.collection.mutable.Queue[Row]()
+        /** Consume one whole bucket from `rows`, enqueueing its dropped
+          * ids. Buffers at most cap+1 (id, shingles) pairs: past the cap
+          * the bucket is big and only the min-key pool is retained. */
+        private def drainBucket(): Unit = {
+          val band = rows.head.getLong(0)
+          val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+          val shs = new scala.collection.mutable.ArrayBuffer[Array[Long]]()
+          var nMin = 0 // big mode: pool size (leading min-orderKey rows)
+          while (rows.hasNext && rows.head.getLong(0) == band) {
+            val r = rows.next()
+            val id = r.get(1)
+            val sh = {
+              val s = r.getSeq[Long](2)
+              val a = new Array[Long](s.length)
+              var i = 0; while (i < a.length) { a(i) = s(i); i += 1 }
+              a
+            }
+            if (nMin > 0) {
+              // big bucket: stream against the frozen min pool
+              var k = 0; var hit = false
+              while (!hit && k < nMin) {
+                if (graft.functions.kernels.jaccardSorted(shs(k), sh) >= th)
+                  hit = true
+                k += 1
+              }
+              if (hit) out.enqueue(Row(id))
+            } else {
+              ids += id; shs += sh
+              if (ids.length > cap) {
+                // cap overflow: switch to min-only semantics. The pool is
+                // every buffered row sharing the minimum orderKey (one
+                // row for unique keys); verify the rest of the buffer
+                // against it, then stream.
+                nMin = 1
+                while (nMin < ids.length && ids(nMin) == ids(0)) nMin += 1
+                var j = nMin
+                while (j < ids.length) {
+                  var k = 0; var hit = false
+                  while (!hit && k < nMin) {
+                    if (graft.functions.kernels.jaccardSorted(shs(k), shs(j)) >= th)
+                      hit = true
+                    k += 1
+                  }
+                  if (hit) out.enqueue(Row(ids(j)))
+                  j += 1
+                }
+                ids.takeInPlace(nMin); shs.takeInPlace(nMin)
+              }
+            }
+          }
+          if (nMin == 0) {
+            // small bucket: all-pairs witness semantics with early exit
+            var j = 1
+            while (j < ids.length) {
+              var i = 0; var hit = false
+              while (!hit && i < j) {
+                if (ids(i) != ids(j) &&
+                    graft.functions.kernels.jaccardSorted(shs(i), shs(j)) >= th)
+                  hit = true
+                i += 1
+              }
+              if (hit) out.enqueue(Row(ids(j)))
+              j += 1
+            }
+          }
+        }
+        def hasNext: Boolean = {
+          while (out.isEmpty && rows.hasNext) drainBucket()
+          out.nonEmpty
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException("empty walk")
+          out.dequeue()
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** `localCheckpoint()` that reclaims the wave's own shuffles before
@@ -388,16 +453,15 @@ final case class MinHashDeduplicateFilter(inputKey: String = "text",
           explode(slice(col("__bands"), start + 1, len)))
           .select(col(orderKey), col("__sh"), col("__band"))
         // distinct() BEFORE the checkpoint, not only after the union:
-        // bandVerifyDups emits one id per (pair, shared band) — quadratic
-        // in near-dup-cluster size until deduplicated — and localCheckpoint
-        // MATERIALIZES its input. Checkpointing the raw emissions wrote
-        // ~15-20 GB of rdd blocks per wave at ×1000 (5M docs, 100-way
-        // clusters) and, held until the final cross-wave distinct, filled
-        // the disk at wave 3 of 13. The distinct's map-side combine
-        // collapses band- and pair-multiplicity inside the wave's own
-        // exchange, so the checkpoint stores ≤ one id per corpus row
-        // (~40 MB) instead. The cross-wave distinct below still collapses
-        // ids found by several waves.
+        // the witness walk emits ≤ one id per (row, band-in-wave) — the
+        // pre-r18 join emitted one per (pair, shared band), QUADRATIC in
+        // cluster size, which checkpointed 15-20 GB of rdd blocks per
+        // wave at ×1000 and filled the disk at wave 3 of 13 — and
+        // localCheckpoint MATERIALIZES its input. The distinct's
+        // map-side combine collapses the remaining band multiplicity
+        // inside the wave's own exchange, so the checkpoint stores ≤ one
+        // id per corpus row (~40 MB). The cross-wave distinct below
+        // still collapses ids found by several waves.
         val idsDf = bandVerifyDups(banded).distinct()
         // Attribute the wave's shuffles from the wave's OWN executed RDD
         // lineage (toRdd also materializes the AQE stages), not from a

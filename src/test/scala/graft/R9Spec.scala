@@ -53,14 +53,17 @@ class R9Spec extends AnyFunSuite {
       assert(got == single, "waved ids diverge from single-pass")
       // every wave's shuffles were removed inside groupedDuplicateIds;
       // what remains is at most the shared prologue (identical-set
-      // window / repsB materialization) and the final union-distinct —
-      // strictly fewer than the single-pass run registers (prologue +
-      // band window + merge-join sides + final distinct). If reclamation
-      // broke, the 3 waves leak ≥ 2 band shuffles EACH on top of that
-      // shared remainder, pushing the waved count past the single-pass
-      // count.
+      // window behind identIds AND repsB — two plan instances) and the
+      // final union-distinct. Since the r18 witness walk the single-pass
+      // plan is itself small (ident window + band exchange + distinct —
+      // the merge-join sides it used to register are gone), so the waved
+      // remainder can EQUAL the single-pass count; the reclamation
+      // signal is proportional instead: a wave whose cleanup broke
+      // leaks its band exchange AND its pre-checkpoint distinct (≥ 2
+      // shuffles per broken wave), so even ONE broken wave pushes the
+      // count to singleCreated + 2.
       val leaked = ShuffleCleanup.liveShuffleIds(spark.sparkContext) -- before
-      assert(leaked.size < singleCreated,
+      assert(leaked.size < singleCreated + 2,
         s"expected wave shuffles to be reclaimed eagerly: ${leaked.size} new " +
           s"live shuffles vs $singleCreated from the single-pass plan")
     } finally withSh.unpersist(false)
