@@ -25,14 +25,31 @@ object CorpusEvaluators {
     // would forfeit AQE on a real plan to save two ~55 ms job floors
     val n = pairs.count().toDouble
     // ONE tagged explode+aggregate yields both tf vectors per (id, tok) —
-    // replaces two separate exploded aggregates + a full-outer join
-    val tagged = pairs.select(col(idKey), lit("p").as("side"),
-      explode(words(col(predKey))).as("tok"))
-      .unionAll(pairs.select(col(idKey), lit("r").as("side"),
-        explode(words(col(refKey))).as("tok")))
+    // replaces two separate exploded aggregates + a full-outer join.
+    // r18 (guide §2.3/§2.4/§2.5, the ciderD shape): the pair rows are
+    // exchanged BY id BEFORE one combined explode, instead of a
+    // two-branch union whose exploded token stream fed a (id, tok)
+    // exchange: HashPartitioning(id) satisfies both the (id, tok)
+    // aggregate and the final per-id cosine aggregate, so the corpus is
+    // exchanged ONCE (as text, ~2.3× fewer bytes than the tagged token
+    // stream), the explode runs at the derived width rather than the
+    // corpus scan's split count, and the union that defeated
+    // partitioning reuse is gone.
+    val width = graft.ops.sim.Similarity.autoEnumPartitions(
+      n.toLong, pairs.sparkSession)
+    val parted = pairs.repartition(width, col(idKey))
+    // the side tag is POSITIONAL (pos < |pred words| = pred side), not a
+    // per-token struct/string: one concat of the two existing token
+    // arrays and an int compare per token — a struct-wrapping variant
+    // measured ~2× the per-token CPU at ×10
+    val tagged = parted
+      .select(col(idKey), words(col(predKey)).as("__wp"),
+        words(col(refKey)).as("__wr"))
+      .select(col(idKey), size(col("__wp")).as("__np"),
+        posexplode(concat(col("__wp"), col("__wr"))).as(Seq("__pos", "tok")))
     val tf = tagged.groupBy(idKey, "tok").agg(
-      sum(when(col("side") === "p", 1).otherwise(0)).as("tf_p"),
-      sum(when(col("side") === "r", 1).otherwise(0)).as("tf_r"))
+      sum(when(col("__pos") < col("__np"), 1).otherwise(0)).as("tf_p"),
+      sum(when(col("__pos") >= col("__np"), 1).otherwise(0)).as("tf_r"))
     // document frequency over refs, derived from the same grouped pass
     val df = tf.filter(col("tf_r") > 0)
       .groupBy("tok").agg(count(lit(1)).as("dfreq"))
@@ -81,19 +98,36 @@ object CorpusEvaluators {
     // final per-(id, n, gram) tf table — the exploded ~2.3x-wider tagged
     // stream of earlier forms never enters the plan.
     //
-    // The rows still pass through a groupBy(id, n, gram) sum: on unique
-    // ids it is an identity merge, but (a) it keeps the operator correct
-    // when a caller feeds several rows per id, and (b) its
-    // (id, n, gram)-keyed exchange spreads zipf-head grams across
-    // partitions (id varies), so the corpus-sized aggregate runs
-    // BALANCED before anything is keyed by gram alone. A round-8 A/B
-    // tried collapsing this exchange into the window's (CiderAB formC:
-    // repartition(n, gram) up front, one corpus exchange total — legal
-    // because HashPartitioning(n, gram) satisfies the aggregate's
-    // (id, n, gram) clustering): one exchange FEWER, but 61.8 s → 81.8 s
-    // at ×100, because every corpus pass then runs in gram-skewed
-    // partitions. The balanced extra exchange is the cheaper shape.
-    val tf = pairs.select(col(idKey),
+    // r18 (guide §2.3/§2.5, measured): the pair rows are EXCHANGED BY id
+    // BEFORE the generator instead of shipping the generated gram stream
+    // into a (id, n, gram) exchange after it. Three effects, all scale
+    // directions favorable:
+    //  - the corpus exchange carries the pair TEXTS (~10× fewer bytes
+    //    than the ~4-rows-per-token × ~40 B gram stream the old exchange
+    //    moved — §2.3 "project before the exchange" in reverse: generate
+    //    AFTER the exchange);
+    //  - the generator's md5-per-gram CPU runs at the repartition's
+    //    width instead of the corpus SCAN's split count (sf0.1's single
+    //    parquet split ran the whole gram pass on one core: cpu_ratio
+    //    1.46, 8→32-core scaling ratio 1.04 — §2.5 input starvation; the
+    //    width is nDocs-derived and clamped exactly like the sim
+    //    family's heals, so a real cluster's wide scan is NOT narrowed
+    //    and AQE's byte-based coalescing cannot starve a CPU-bound
+    //    stage it can't see);
+    //  - HashPartitioning(id) satisfies the groupBy(id, n, gram)
+    //    clustering, so the aggregate runs in the SAME exchange — plan
+    //    exchange count is unchanged — and `lens` below derives from the
+    //    same repartitioned child, so ReuseExchange serves tf and lens
+    //    from ONE pairs evaluation (the old shape computed the caller's
+    //    pairs join twice).
+    // The id keying keeps every corpus pass balanced (ids are uniform;
+    // the round-8 formC lesson about gram-skewed repartition(n, gram)
+    // partitions stands — the dfreq window below still re-exchanges by
+    // (n, gram) exactly as before).
+    val width = graft.ops.sim.Similarity.autoEnumPartitions(
+      nDocs.toLong, pairs.sparkSession)
+    val parted = pairs.repartition(width, col(idKey))
+    val tf = parted.select(col(idKey),
       graft.functions.hashExpressions.pairNgramTf(
         words(col(predKey)), words(col(refKey)), maxN))
       .groupBy(idKey, "n", "gram").agg(
@@ -134,7 +168,7 @@ object CorpusEvaluators {
       sum(least(col("wp"), col("wr")) * col("wr")).as("dot"),
       sqrt(sum(col("wp") * col("wp"))).as("np"),
       sqrt(sum(col("wr") * col("wr"))).as("nr"))
-    val lens = pairs.select(col(idKey),
+    val lens = parted.select(col(idKey),
       greatest(wordCount(col(predKey)) - 1, lit(0)).cast("double").as("lp"),
       greatest(wordCount(col(refKey)) - 1, lit(0)).cast("double").as("lr"))
     val delta = col("lp") - col("lr")
